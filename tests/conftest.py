@@ -1,0 +1,34 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (SURVEY.md
+section 4's implication: mesh logic tested via
+--xla_force_host_platform_device_count)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def big_scene():
+    from toypathtracer_tpu import make_scene
+    return make_scene(big=True)
+
+
+@pytest.fixture(scope="session")
+def small_scene():
+    from toypathtracer_tpu import make_scene
+    return make_scene(big=False)
+
+
+def load_golden(name):
+    path = os.path.join(os.path.dirname(__file__), "golden", f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} missing (run tools/gen_golden.py)")
+    return np.load(path)

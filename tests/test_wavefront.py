@@ -1,0 +1,133 @@
+"""Wavefront (GPU-semantics) renderer tests: determinism, progressive
+accumulation semantics, animation, cross-semantics convergence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from toypathtracer_tpu import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
+from toypathtracer_tpu.render import frame as frame_mod
+from toypathtracer_tpu.render.wavefront import render_frame
+
+CFG = RenderConfig(width=64, height=36)
+
+
+def test_render_deterministic(big_scene):
+    a, ra = render_frame(big_scene, CFG, jnp.int32(3))
+    b, rb = render_frame(big_scene, CFG, jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ra) == int(rb)
+
+
+def test_frames_differ(big_scene):
+    a, _ = render_frame(big_scene, CFG, jnp.int32(0))
+    b, _ = render_frame(big_scene, CFG, jnp.int32(1))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+
+def test_output_shape_and_finite(big_scene):
+    img, rays = render_frame(big_scene, CFG, jnp.int32(0))
+    a = np.asarray(img)
+    assert a.shape == (36, 64, 3)
+    assert np.isfinite(a).all()
+    assert a.min() >= 0.0
+    # every pixel got light from somewhere (sky minimum is ~0.15*0.3 scaled)
+    assert a.max() > 1.0  # emissive visible
+    # ray count: >= 1 primary per sample, <= (1 primary + depth + shadows)
+    n_samples = 36 * 64 * CFG.samples_per_pixel
+    assert int(rays) >= n_samples
+    assert int(rays) <= n_samples * (CFG.max_depth * 3 + 1)
+
+
+def test_ray_count_close_to_reference_scale(big_scene):
+    # reference oracle at 64x36 frame 0 counts ~42.5k rays (tests/golden);
+    # GPU sampler paths differ slightly but must be within a few percent.
+    _, rays = render_frame(big_scene, CFG, jnp.int32(0))
+    assert abs(int(rays) - 42536) / 42536 < 0.05
+
+
+def test_progressive_blend_matches_formula(big_scene):
+    state = frame_mod.init_frame_state(CFG)
+    s1, img1, _ = frame_mod.progressive_step(
+        state, big_scene, jnp.float32(0.0), CFG, FLAG_PROGRESSIVE)
+    s2, img2, _ = frame_mod.progressive_step(
+        s1, big_scene, jnp.float32(0.0), CFG, FLAG_PROGRESSIVE)
+    f0, _ = render_frame(big_scene, CFG, jnp.int32(0))
+    f1, _ = render_frame(big_scene, CFG, jnp.int32(1))
+    # frame 0: lerpFac = 0 -> img1 == f0 ; frame 1: 0.5*f0 + 0.5*f1
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(f0), atol=1e-6)
+    want = 0.5 * np.asarray(f0) + 0.5 * np.asarray(f1)
+    np.testing.assert_allclose(np.asarray(img2), want, atol=1e-5)
+    assert int(s2.frame) == 2
+
+
+def test_non_progressive_no_blend(big_scene):
+    state = frame_mod.init_frame_state(CFG)
+    s1, _, _ = frame_mod.progressive_step(
+        state, big_scene, jnp.float32(0.0), CFG, 0)
+    s2, img2, _ = frame_mod.progressive_step(
+        s1, big_scene, jnp.float32(0.0), CFG, 0)
+    f1, _ = render_frame(big_scene, CFG, jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(f1), atol=1e-6)
+
+
+def test_animate_moves_spheres(big_scene):
+    t = jnp.float32(1.0)
+    s = big_scene.animate(t)
+    a = np.asarray(s.center)
+    b = np.asarray(big_scene.center)
+    # sphere 1: y = cos(t)+1 ; sphere 8: z = sin(t)*0.3 (Test.cpp:304-308)
+    np.testing.assert_allclose(a[1, 1], np.cos(1.0) + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(a[8, 2], np.sin(1.0) * 0.3, rtol=1e-6)
+    # everything else untouched
+    mask = np.ones_like(a, bool)
+    mask[1, 1] = mask[8, 2] = False
+    np.testing.assert_array_equal(a[mask], b[mask])
+
+
+def test_animate_smoothing_lerp(big_scene):
+    state = frame_mod.FrameState(
+        accum=jnp.ones((36, 64, 3), jnp.float32), frame=jnp.int32(4))
+    fac = frame_mod.lerp_factor(state.frame, FLAG_PROGRESSIVE | FLAG_ANIMATE,
+                                CFG)
+    np.testing.assert_allclose(float(fac), (4 / 5) * 0.9, rtol=1e-6)
+
+
+def test_small_scene_renders(small_scene):
+    img, rays = render_frame(small_scene, CFG, jnp.int32(0))
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    assert small_scene.n_spheres == 9
+    assert small_scene.emissive_ids == (8,)
+
+
+def test_mitsuba_compare_mode(small_scene):
+    """Mitsuba mode: constant sky, zero aperture, metal roughness forced 0
+    (reference: Test.cpp:226-227, 312-313, 143-145)."""
+    from toypathtracer_tpu.scene import make_scene
+    cfg = RenderConfig(width=64, height=36, do_mitsuba_compare=True)
+    scene = make_scene(big=False, mitsuba_compare=True)
+    assert scene.camera.aperture == 0.0
+    img, _ = render_frame(scene, cfg, jnp.int32(0))
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_gpu_vs_cpu_semantics_converge(big_scene):
+    """The wavefront (GPU-sampler) and parity (CPU-sampler) renderers are
+    different estimators of the same integral: their multi-frame means must
+    agree block-wise."""
+    from toypathtracer_tpu.render.parity import render_frame_parity
+    cfg = RenderConfig(width=32, height=24)
+    n = 8
+    acc_w = np.zeros((24, 32, 3))
+    acc_p = np.zeros((24, 32, 3))
+    for f in range(n):
+        w, _ = render_frame(big_scene, cfg, jnp.int32(f))
+        p, _ = render_frame_parity(big_scene, cfg, jnp.int32(f))
+        acc_w += np.asarray(w)
+        acc_p += np.asarray(p)
+    ta = np.sqrt(np.clip(acc_w / n, 0, None))
+    tb = np.sqrt(np.clip(acc_p / n, 0, None))
+    ab = ta.reshape(6, 4, 8, 4, 3).mean(axis=(1, 3))
+    bb = tb.reshape(6, 4, 8, 4, 3).mean(axis=(1, 3))
+    assert np.abs(ab - bb).mean() < 0.03, np.abs(ab - bb).mean()

@@ -1,0 +1,61 @@
+"""Render configuration.
+
+TPU-native counterpart of the reference's compile-time config system
+(reference: Cpp/Source/Config.h:1-36) plus the runtime flag bits
+(reference: Cpp/Source/Test.h:4-8).  All fields are static w.r.t. `jax.jit`:
+changing any of them triggers a recompile, exactly like flipping a `#define`
+rebuilt the reference.  Dynamic per-frame quantities (time, frame index) are
+traced arguments of the render functions instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Runtime flag bits (reference: Cpp/Source/Test.h:4-8).
+FLAG_ANIMATE = 1 << 0
+FLAG_PROGRESSIVE = 1 << 1
+
+# The reference's float PI literal (Cpp/Source/Maths.h:9, ComputeShader.hlsl
+# uses the same 3.1415926 literal) -- kept bit-identical for RNG/NEE parity.
+KPI = 3.1415926
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (jit-static).
+
+    Field origins in the reference:
+      width/height            Config.h:6-7   (kBackbufferWidth/Height)
+      samples_per_pixel       Config.h:22    (DO_SAMPLES_PER_PIXEL)
+      animate_smoothing       Config.h:23    (DO_ANIMATE_SMOOTHING)
+      do_light_sampling       Config.h:24    (DO_LIGHT_SAMPLING)
+      do_mitsuba_compare      Config.h:25    (DO_MITSUBA_COMPARE)
+      min_t/max_t/max_depth   Test.cpp:71-73 (kMinT/kMaxT/kMaxDepth)
+    """
+
+    width: int = 1280
+    height: int = 720
+    samples_per_pixel: int = 4
+    max_depth: int = 10
+    min_t: float = 0.001
+    max_t: float = 1.0e7
+    do_light_sampling: bool = True
+    do_mitsuba_compare: bool = False
+    animate_smoothing: float = 0.9
+
+    # TPU-specific knobs (no reference analog; tuning only -- they never
+    # change the rendered image).
+    tile_h: int = 80   # Pallas pixel-tile height (must divide height)
+    tile_w: int = 128  # Pallas pixel-tile width (must divide width)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def inv_width(self) -> float:
+        return 1.0 / self.width
+
+    @property
+    def inv_height(self) -> float:
+        return 1.0 / self.height

@@ -1,0 +1,815 @@
+"""Backend-agnostic wavefront trace core.
+
+This module implements the *entire* path-tracing math of the reference --
+XorShift32 RNG, closed-form samplers, ray/sphere intersection with
+running-argmin, Lambert/Metal/Dielectric scatter, explicit light sampling
+(NEE) with double-count suppression, and the iterative bounce loop -- in a
+component-wise style (vec3 = tuple of three arrays) that runs identically:
+
+  * as plain jnp over whole pixel grids (the differentiable reference
+    renderer, `render/wavefront.py`), and
+  * inside Pallas TPU kernels over (tile_h, tile_w) blocks
+    (`ops/pallas_render.py`).
+
+Semantics contract: this is the reference's *GPU port* formulation
+(reference: Cpp/Windows/ComputeShader.hlsl, Cpp/Apple/Shaders.metal), i.e.
+
+  * iterative trace with a running-attenuation accumulator
+    (ComputeShader.hlsl:294-343), not the CPU recursion (Test.cpp:195-234);
+  * closed-form polar samplers with a fixed RNG draw count
+    (ComputeShader.hlsl:18-44), not the CPU rejection loops
+    (Maths.cpp:20-37);
+  * per-pixel RNG seeding `(x*1973 + y*9277 + frame*26699) | 1`
+    (ComputeShader.hlsl:380).
+
+The CPU-scalar semantics (rejection sampling, per-row seeding, recursion
+tail at depth 10) live separately in `render/parity.py` and are validated
+against a compiled build of the reference's own scalar C++.
+
+Wavefront-critical detail: RNG state updates are *per-lane exact*.  Every
+material branch advances its own copy of the RNG state and the final state
+is selected by the lane's material type, so each pixel consumes exactly the
+same pseudo-random sequence as a scalar interpreter of the HLSL would --
+dead lanes consume nothing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import KPI, RenderConfig
+
+# ---------------------------------------------------------------------------
+# vec3 helpers (component-wise: a vec3 is a tuple (x, y, z) of equal-shape
+# arrays).  Mirrors the reference float3 ops (Maths.h:250-302) but maps to
+# pure VPU element-wise work on TPU.
+# ---------------------------------------------------------------------------
+
+
+def v3(x, y, z):
+    return (x, y, z)
+
+
+def splat3(shape, vals, dtype=jnp.float32):
+    return tuple(jnp.full(shape, v, dtype) for v in vals)
+
+
+def add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def mul3(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    # reference: Maths.h:278-285
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        -(a[0] * b[2] - a[2] * b[0]),
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def normalize3(a):
+    # reference: Maths.h:301 (v * (1/sqrt(dot(v,v)))).  Exact 1/sqrt, not
+    # lax.rsqrt: IEEE div+sqrt round identically to the C++ reference,
+    # which matters for golden parity (rsqrt is an approximation on TPU).
+    inv = 1.0 / jnp.sqrt(dot3(a, a))
+    return scale3(a, inv)
+
+
+def sel3(mask, a, b):
+    return (
+        jnp.where(mask, a[0], b[0]),
+        jnp.where(mask, a[1], b[1]),
+        jnp.where(mask, a[2], b[2]),
+    )
+
+
+def reflect3(v, n):
+    # reference: Maths.h:310-313
+    d = dot3(v, n)
+    return sub3(v, scale3(n, 2.0 * d))
+
+
+def pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
+def schlick(cosine, ri):
+    """Fresnel approximation (reference: Maths.h:327-332; the saturate guard
+    follows the HLSL port, ComputeShader.hlsl:68-74)."""
+    r0 = (1.0 - ri) / (1.0 + ri)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * pow5(jnp.clip(1.0 - cosine, 0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# RNG: XorShift32, functional (reference: Maths.cpp:5-18; identical shader
+# copies at ComputeShader.hlsl:3-16).  State is a uint32 array; every draw
+# returns (new_state, value).
+# ---------------------------------------------------------------------------
+
+
+def xorshift32(state):
+    x = state
+    x = x ^ (x << 13)
+    x = x ^ (x >> 17)
+    x = x ^ (x << 15)
+    return x
+
+
+def rand01(state):
+    """(XorShift32(state) & 0xFFFFFF) / 16777216 (reference: Maths.cpp:15-18)."""
+    state = xorshift32(state)
+    bits = (state & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    return state, bits.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def seed_pixels(x, y, frame):
+    """Per-pixel GPU seeding scheme (reference: ComputeShader.hlsl:380)."""
+    s = (
+        x.astype(jnp.uint32) * jnp.uint32(1973)
+        + y.astype(jnp.uint32) * jnp.uint32(9277)
+        + jnp.uint32(frame) * jnp.uint32(26699)
+    )
+    return s | jnp.uint32(1)
+
+
+def random_in_unit_disk(state):
+    """Closed-form polar disk sample, 2 draws (reference:
+    ComputeShader.hlsl:18-24).  Returns (state, (x, y))."""
+    state, r1 = rand01(state)
+    a = r1 * jnp.float32(2.0 * KPI)
+    state, r2 = rand01(state)
+    r = jnp.sqrt(r2)
+    return state, (jnp.cos(a) * r, jnp.sin(a) * r)
+
+
+def random_in_unit_sphere(state):
+    """Closed-form sphere-volume sample, 3 draws (reference:
+    ComputeShader.hlsl:25-35)."""
+    state, r1 = rand01(state)
+    z = r1 * 2.0 - 1.0
+    state, r2 = rand01(state)
+    t = r2 * jnp.float32(2.0 * KPI)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    x = r * jnp.cos(t)
+    y = r * jnp.sin(t)
+    state, r3 = rand01(state)
+    cube = jnp.cbrt(r3)
+    return state, (x * cube, y * cube, z * cube)
+
+
+def random_unit_vector(state):
+    """Uniform direction, 2 draws (reference: ComputeShader.hlsl:36-44;
+    the CPU core uses the same closed form, Maths.cpp:39-47)."""
+    state, r1 = rand01(state)
+    z = r1 * 2.0 - 1.0
+    state, r2 = rand01(state)
+    a = r2 * jnp.float32(2.0 * KPI)
+    r = jnp.sqrt(1.0 - z * z)
+    return state, (r * jnp.cos(a), r * jnp.sin(a), z)
+
+
+def random_in_unit_disk_reject(state):
+    """CPU rejection-loop disk sample, 2 draws per iteration (reference:
+    Maths.cpp:20-28).  Variable draw count -- only usable in the scalar
+    parity path (lax.while_loop; vmap masks finished lanes)."""
+    def draw(st):
+        st, r1 = rand01(st)
+        st, r2 = rand01(st)
+        return st, r1 * 2.0 - 1.0, r2 * 2.0 - 1.0
+
+    st, px, py = draw(state)
+
+    def cond(c):
+        _, x, y = c
+        return x * x + y * y >= 1.0
+
+    def body(c):
+        st, _, _ = c
+        return draw(st)
+
+    st, px, py = jax.lax.while_loop(cond, body, (st, px, py))
+    return st, (px, py)
+
+
+def random_in_unit_sphere_reject(state):
+    """CPU rejection-loop sphere sample, 3 draws per iteration (reference:
+    Maths.cpp:30-37)."""
+    def draw(st):
+        st, r1 = rand01(st)
+        st, r2 = rand01(st)
+        st, r3 = rand01(st)
+        return st, r1 * 2.0 - 1.0, r2 * 2.0 - 1.0, r3 * 2.0 - 1.0
+
+    st, px, py, pz = draw(state)
+
+    def cond(c):
+        _, x, y, z = c
+        return x * x + y * y + z * z >= 1.0
+
+    def body(c):
+        st, _, _, _ = c
+        return draw(st)
+
+    st, px, py, pz = jax.lax.while_loop(cond, body, (st, px, py, pz))
+    return st, (px, py, pz)
+
+
+class Samplers(NamedTuple):
+    """Pluggable random-sampler set.  GPU = closed-form polar (fixed draw
+    count, branch-free: the wavefront contract).  CPU = the reference CPU
+    core's rejection loops (parity path only)."""
+    in_unit_disk: callable
+    in_unit_sphere: callable
+    unit_vector: callable
+
+
+GPU_SAMPLERS = Samplers(random_in_unit_disk, random_in_unit_sphere,
+                        random_unit_vector)
+CPU_SAMPLERS = Samplers(random_in_unit_disk_reject,
+                        random_in_unit_sphere_reject,
+                        random_unit_vector)
+
+
+# ---------------------------------------------------------------------------
+# Scene port: how the trace core reads per-sphere scalars.  The jnp driver
+# indexes scene arrays (static indices -> cheap slices); the Pallas driver
+# reads SMEM refs.  Both yield scalars that broadcast against lane arrays.
+# ---------------------------------------------------------------------------
+
+
+class SphereData(NamedTuple):
+    cx: jax.Array
+    cy: jax.Array
+    cz: jax.Array
+    sq_radius: jax.Array
+    inv_radius: jax.Array
+    radius: jax.Array
+
+
+class MaterialData(NamedTuple):
+    mtype: int  # static python int in both drivers (material types are static)
+    alb: tuple
+    em: tuple
+    roughness: jax.Array
+    ri: jax.Array
+
+
+class ScenePort:
+    """Abstract access to scene scalars.  Implementations must provide:
+
+    n: int                     -- sphere count (static)
+    emissive_ids: tuple[int]   -- emissive sphere indices (static)
+    sphere(i) -> SphereData    -- per-sphere geometry scalars
+    material(i) -> MaterialData -- per-sphere material scalars
+
+    Optionally `stacked() -> dict of (N,) arrays` (keys: cx, cy, cz,
+    sq_radius, inv_radius, alb_r/g/b, em_r/g/b, roughness, ri, is_lam,
+    is_met, is_die).  When present, hit_spheres uses a rolled lax.scan over
+    the sphere axis (small HLO graph, right for the XLA-compiled jnp path);
+    when absent, the sphere loop is fully unrolled (right for Pallas, where
+    per-sphere scalars come from SMEM and unrolling feeds the VPU).  Both
+    forms execute the same ops in the same order -- results are identical.
+    """
+
+    n: int
+    emissive_ids: Sequence[int]
+
+    def sphere(self, i: int) -> SphereData:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def material(self, i: int) -> MaterialData:  # pragma: no cover
+        raise NotImplementedError
+
+    def stacked(self):
+        return None
+
+
+class HitResult(NamedTuple):
+    t: jax.Array
+    hit_id: jax.Array          # int32, -1 = miss
+    # valid only where hit_id >= 0:
+    cx: jax.Array
+    cy: jax.Array
+    cz: jax.Array
+    inv_radius: jax.Array
+    # material of the hit sphere (selected in the same running pass);
+    # None when want_material=False:
+    alb: tuple
+    em: tuple
+    roughness: jax.Array
+    ri: jax.Array
+    is_lambert: jax.Array      # bool masks instead of a gathered type code
+    is_metal: jax.Array
+    is_dielectric: jax.Array
+
+
+def _hit_spheres_scan(stacked, n, ro, rd, t_min, t_max, want_material):
+    """Rolled (lax.scan over the sphere axis) variant of hit_spheres --
+    identical math/op-order to the unrolled version, tiny HLO graph."""
+    shape = jnp.shape(ro[0])
+    f32 = jnp.float32
+    zero = jnp.zeros(shape, f32)
+    init = dict(
+        hit_t=jnp.full(shape, t_max, f32),
+        hit_id=jnp.full(shape, -1, jnp.int32),
+        cx=zero, cy=zero, cz=zero, inv_radius=zero,
+    )
+    keys = ["cx", "cy", "cz", "sq_radius", "inv_radius"]
+    if want_material:
+        init.update(
+            alb_r=zero, alb_g=zero, alb_b=zero,
+            em_r=zero, em_g=zero, em_b=zero, roughness=zero, ri=zero,
+            is_lam=jnp.zeros(shape, bool), is_met=jnp.zeros(shape, bool),
+            is_die=jnp.zeros(shape, bool),
+        )
+        keys += ["alb_r", "alb_g", "alb_b", "em_r", "em_g", "em_b",
+                 "roughness", "ri", "is_lam", "is_met", "is_die"]
+    xs = {k: stacked[k][:n] for k in keys}
+    xs["idx"] = jnp.arange(n, dtype=jnp.int32)
+
+    def body(sel, sp):
+        cox = sp["cx"] - ro[0]
+        coy = sp["cy"] - ro[1]
+        coz = sp["cz"] - ro[2]
+        nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+        c = cox * cox + coy * coy + coz * coz - sp["sq_radius"]
+        discr = nb * nb - c
+        discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+        t0 = nb - discr_sq
+        t1 = nb + discr_sq
+        t = jnp.where(t0 > t_min, t0, t1)
+        msk = (discr > 0.0) & (t > t_min) & (t < sel["hit_t"])
+        out = {"hit_t": jnp.where(msk, t, sel["hit_t"]),
+               "hit_id": jnp.where(msk, sp["idx"], sel["hit_id"])}
+        for k in sel:
+            if k not in ("hit_t", "hit_id", "sq_radius"):
+                out[k] = jnp.where(msk, sp[k], sel[k])
+        return out, None
+
+    sel, _ = jax.lax.scan(body, init, xs)
+    if not want_material:
+        none3 = (zero, zero, zero)
+        false_ = sel["hit_id"] < -1
+        return HitResult(sel["hit_t"], sel["hit_id"], sel["cx"], sel["cy"],
+                         sel["cz"], sel["inv_radius"], none3, none3, zero,
+                         zero, false_, false_, false_)
+    return HitResult(
+        sel["hit_t"], sel["hit_id"], sel["cx"], sel["cy"], sel["cz"],
+        sel["inv_radius"],
+        (sel["alb_r"], sel["alb_g"], sel["alb_b"]),
+        (sel["em_r"], sel["em_g"], sel["em_b"]),
+        sel["roughness"], sel["ri"], sel["is_lam"], sel["is_met"],
+        sel["is_die"],
+    )
+
+
+def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True):
+    """Nearest-hit ray-vs-all-spheres query.
+
+    Vectorized over the ray lanes; the (small, static) sphere axis is a
+    running-argmin loop -- the TPU mapping of the reference's 4-wide SIMD
+    packet loop (Maths.cpp:89-124), with the VPU's 8x128 lanes carrying
+    *rays* instead of spheres.  The `-b` (nb) quadratic trick and
+    earlier/later root selection follow Maths.cpp:97-117 exactly.
+
+    Material scalars of the winning sphere are tracked in the same running
+    selects, replacing the gather the GPU ports do from groupshared memory
+    (ComputeShader.hlsl:310).
+
+    The sphere loop is unrolled for ports without stacked arrays (Pallas)
+    and rolled via lax.scan otherwise (jnp path) -- see ScenePort.
+    """
+    stacked = port.stacked()
+    if stacked is not None:
+        return _hit_spheres_scan(stacked, port.n, ro, rd, t_min, t_max,
+                                 want_material)
+    shape = jnp.shape(ro[0])
+    f32 = jnp.float32
+    hit_t = jnp.full(shape, t_max, f32)
+    hit_id = jnp.full(shape, -1, jnp.int32)
+    zero = jnp.zeros(shape, f32)
+    sel = dict(cx=zero, cy=zero, cz=zero, inv_radius=zero)
+    if want_material:
+        sel.update(
+            alb_r=zero, alb_g=zero, alb_b=zero,
+            em_r=zero, em_g=zero, em_b=zero,
+            roughness=zero, ri=zero,
+        )
+        is_lam = jnp.zeros(shape, bool)
+        is_met = jnp.zeros(shape, bool)
+        is_die = jnp.zeros(shape, bool)
+
+    for i in range(port.n):
+        sp = port.sphere(i)
+        cox = sp.cx - ro[0]
+        coy = sp.cy - ro[1]
+        coz = sp.cz - ro[2]
+        nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+        c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+        discr = nb * nb - c
+        discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+        t0 = nb - discr_sq
+        t1 = nb + discr_sq
+        t = jnp.where(t0 > t_min, t0, t1)
+        msk = (discr > 0.0) & (t > t_min) & (t < hit_t)
+        hit_t = jnp.where(msk, t, hit_t)
+        hit_id = jnp.where(msk, i, hit_id)
+        sel["cx"] = jnp.where(msk, sp.cx, sel["cx"])
+        sel["cy"] = jnp.where(msk, sp.cy, sel["cy"])
+        sel["cz"] = jnp.where(msk, sp.cz, sel["cz"])
+        sel["inv_radius"] = jnp.where(msk, sp.inv_radius, sel["inv_radius"])
+        if want_material:
+            m = port.material(i)
+            sel["alb_r"] = jnp.where(msk, m.alb[0], sel["alb_r"])
+            sel["alb_g"] = jnp.where(msk, m.alb[1], sel["alb_g"])
+            sel["alb_b"] = jnp.where(msk, m.alb[2], sel["alb_b"])
+            sel["em_r"] = jnp.where(msk, m.em[0], sel["em_r"])
+            sel["em_g"] = jnp.where(msk, m.em[1], sel["em_g"])
+            sel["em_b"] = jnp.where(msk, m.em[2], sel["em_b"])
+            sel["roughness"] = jnp.where(msk, m.roughness, sel["roughness"])
+            sel["ri"] = jnp.where(msk, m.ri, sel["ri"])
+            is_lam = jnp.where(msk, m.mtype == 0, is_lam)
+            is_met = jnp.where(msk, m.mtype == 1, is_met)
+            is_die = jnp.where(msk, m.mtype == 2, is_die)
+
+    if not want_material:
+        none3 = (zero, zero, zero)
+        return HitResult(hit_t, hit_id, sel["cx"], sel["cy"], sel["cz"],
+                         sel["inv_radius"], none3, none3, zero, zero,
+                         hit_id < -1, hit_id < -1, hit_id < -1)
+    return HitResult(
+        hit_t, hit_id, sel["cx"], sel["cy"], sel["cz"], sel["inv_radius"],
+        (sel["alb_r"], sel["alb_g"], sel["alb_b"]),
+        (sel["em_r"], sel["em_g"], sel["em_b"]),
+        sel["roughness"], sel["ri"], is_lam, is_met, is_die,
+    )
+
+
+def sky_color(rd, cfg: RenderConfig):
+    """Vertical-gradient sky * 0.3, or the Mitsuba-compare constant
+    (reference: Test.cpp:224-232; ComputeShader.hlsl:330-338)."""
+    shape = jnp.shape(rd[0])
+    if cfg.do_mitsuba_compare:
+        return splat3(shape, (0.15, 0.21, 0.3))
+    t = 0.5 * (rd[1] + 1.0)
+    one_t = 1.0 - t
+    return (
+        (one_t * 1.0 + t * 0.5) * 0.3,
+        (one_t * 1.0 + t * 0.7) * 0.3,
+        (one_t * 1.0 + t * 1.0) * 0.3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Camera (thin lens).  cam is a dict of scalars produced by
+# camera.camera_scalars(); ray generation follows Maths.h:437-442 with the
+# GPU polar disk sampler.
+# ---------------------------------------------------------------------------
+
+
+def camera_get_ray(cam, s, t, state, samplers: Samplers = GPU_SAMPLERS):
+    state, (dx, dy) = samplers.in_unit_disk(state)
+    rdx = cam["lens_radius"] * dx
+    rdy = cam["lens_radius"] * dy
+    off = add3(scale3(cam["u"], rdx), scale3(cam["v"], rdy))
+    ro = add3(cam["origin"], off)
+    # association matches the reference exactly (Maths.h:441):
+    # ((((llc + s*h) + t*v) - origin) - offset)
+    d = sub3(
+        sub3(
+            add3(add3(cam["lower_left"], scale3(cam["horizontal"], s)),
+                 scale3(cam["vertical"], t)),
+            cam["origin"]),
+        off,
+    )
+    return state, ro, normalize3(d)
+
+
+# ---------------------------------------------------------------------------
+# Scatter + bounce step (the hot loop body).
+# ---------------------------------------------------------------------------
+
+
+def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
+                     samplers: Samplers):
+    """Lambert scatter + NEE (reference: Test.cpp:86-135,
+    ComputeShader.hlsl:192-237).  `active` = lanes actually running this
+    branch (alive & hit & is_lambert); gates RNG consumption only."""
+    state, ruv = samplers.unit_vector(state)
+    # ((pos + normal) + ruv), as in Test.cpp:89 / hlsl:195 (association
+    # matters for golden parity)
+    target = add3(add3(pos, normal), ruv)
+    sdir = normalize3(sub3(target, pos))
+
+    shape = jnp.shape(pos[0])
+    light_e = splat3(shape, (0.0, 0.0, 0.0))
+    shadow_count = jnp.zeros(shape, jnp.int32)
+
+    if cfg.do_light_sampling:
+        for e in port.emissive_ids:
+            es = port.sphere(e)
+            em = port.material(e)
+            not_self = hit_id != e  # self-skip (ComputeShader.hlsl:204)
+            lane_on = active & not_self
+
+            sc = (es.cx, es.cy, es.cz)
+            sw = normalize3(sub3(sc, pos))
+            up = sel3(jnp.abs(sw[0]) > 0.01,
+                      splat3(shape, (0.0, 1.0, 0.0)),
+                      splat3(shape, (1.0, 0.0, 0.0)))
+            su = normalize3(cross3(up, sw))
+            sv = cross3(sw, su)
+            d2 = dot3(sub3(pos, sc), sub3(pos, sc))
+            cos_a_max = jnp.sqrt(
+                jnp.maximum(0.0, 1.0 - es.radius * es.radius / d2))
+            st2, eps1 = rand01(state)
+            st2, eps2 = rand01(st2)
+            # lanes that skipped (self) must not consume the two draws
+            state = jnp.where(lane_on, st2, state)
+            cos_a = 1.0 - eps1 + eps1 * cos_a_max
+            sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+            phi = jnp.float32(2.0 * KPI) * eps2
+            l = add3(
+                add3(scale3(su, jnp.cos(phi) * sin_a),
+                     scale3(sv, jnp.sin(phi) * sin_a)),
+                scale3(sw, cos_a),
+            )
+            # shadow ray: full nearest-hit query, hit must be the light
+            sh = hit_spheres(port, pos, l, cfg.min_t, cfg.max_t,
+                             want_material=False)
+            see = sh.hit_id == e
+            omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
+            nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
+            # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
+            # -- association as in Test.cpp:131 / hlsl:232.
+            fac = jnp.maximum(0.0, dot3(l, nl)) * omega / jnp.float32(KPI)
+            contrib_on = lane_on & see
+            light_e = (
+                jnp.where(contrib_on,
+                          light_e[0] + (alb[0] * em.em[0]) * fac, light_e[0]),
+                jnp.where(contrib_on,
+                          light_e[1] + (alb[1] * em.em[1]) * fac, light_e[1]),
+                jnp.where(contrib_on,
+                          light_e[2] + (alb[2] * em.em[2]) * fac, light_e[2]),
+            )
+            shadow_count = shadow_count + lane_on.astype(jnp.int32)
+
+    return state, sdir, light_e, shadow_count
+
+
+def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
+                 samplers: Samplers = GPU_SAMPLERS):
+    """One wavefront bounce over all lanes: intersect, scatter (all three
+    materials masked, per-branch RNG threads), NEE.  Mirrors one iteration
+    of the HLSL Trace loop (ComputeShader.hlsl:294-343).
+
+    Returns (new_carry, e, c): per-lane emission `e` and continuation
+    attenuation `c` for this depth, defined so both accumulation orders are
+    exact:
+      * GPU/downward (hlsl:318-319):  col += atten*e; atten *= c
+      * CPU/recursive (Test.cpp:216): radiance_d = e_d + c_d * radiance_{d+1}
+    Lane cases: miss -> e=sky, c=0; scattered -> e=gated_matE+lightE,
+    c=attenuation; absorbed -> e=matE (ungated), c=0; dead -> e=0, c=1.
+    """
+    ro, rd, alive, do_me, state, raycnt = carry
+
+    raycnt = raycnt + alive.astype(jnp.int32)  # ++rayCount (hlsl:303)
+    res = hit_spheres(port, ro, rd, cfg.min_t, cfg.max_t, want_material=True)
+    hit = alive & (res.hit_id >= 0)
+    no_hit = alive & (res.hit_id < 0)
+
+    sky = sky_color(rd, cfg)
+
+    # --- hit point & outward normal (Maths.cpp:156-158)
+    pos = add3(ro, scale3(rd, res.t))
+    normal = scale3(sub3(pos, (res.cx, res.cy, res.cz)), res.inv_radius)
+
+    lam_on = hit & res.is_lambert
+    met_on = hit & res.is_metal
+    die_on = hit & res.is_dielectric
+
+    # --- Lambert branch (own RNG thread)
+    st_l, sdir_l, light_e, shadow_cnt = _scatter_lambert(
+        port, cfg, res.alb, pos, normal, rd, res.hit_id, lam_on, state,
+        samplers)
+    raycnt = raycnt + jnp.where(lam_on, shadow_cnt, 0)
+
+    # --- Metal branch (reference: Test.cpp:137-150)
+    st_m, rius = samplers.in_unit_sphere(state)
+    refl = reflect3(rd, normal)
+    rough = jnp.zeros_like(res.roughness) if cfg.do_mitsuba_compare \
+        else res.roughness
+    sdir_m = normalize3(add3(refl, scale3(rius, rough)))
+    met_ok = dot3(sdir_m, normal) > 0.0
+
+    # --- Dielectric branch (reference: Test.cpp:151-186)
+    rdn = dot3(rd, normal)
+    entering = rdn <= 0.0
+    outward = sel3(entering, normal, neg3(normal))
+    safe_ri = jnp.where(res.ri == 0.0, 1.0, res.ri)  # guard /0 on non-dielectric lanes
+    nint = jnp.where(entering, 1.0 / safe_ri, res.ri)
+    cosine = jnp.where(entering, -rdn, res.ri * rdn)
+    dt = dot3(rd, outward)
+    discr = 1.0 - nint * nint * (1.0 - dt * dt)
+    refr = sub3(scale3(sub3(rd, scale3(outward, dt)), nint),
+                scale3(outward, jnp.sqrt(jnp.maximum(discr, 0.0))))
+    refl_prob = jnp.where(discr > 0.0, schlick(cosine, res.ri),
+                          jnp.float32(1.0))
+    st_d, rr = rand01(state)
+    sdir_d = normalize3(sel3(rr < refl_prob, refl, refr))
+
+    # --- merge branches per lane
+    new_state = jnp.where(lam_on, st_l,
+                          jnp.where(met_on, st_m,
+                                    jnp.where(die_on, st_d, state)))
+    scatter_ok = jnp.where(lam_on, True,
+                           jnp.where(met_on, met_ok, die_on))
+    new_dir = sel3(lam_on, sdir_l, sel3(met_on, sdir_m, sdir_d))
+    attenuation = sel3(lam_on | met_on, res.alb,
+                       sel3(die_on,
+                            splat3(jnp.shape(rd[0]), (1.0, 1.0, 1.0)),
+                            splat3(jnp.shape(rd[0]), (1.0, 0.0, 1.0))))
+
+    # --- emission terms with NEE double-count suppression (hlsl:314-325)
+    shape = jnp.shape(rd[0])
+    mat_e = res.em
+    if cfg.do_light_sampling:
+        gated_e = sel3(do_me, mat_e, splat3(shape, (0., 0., 0.)))
+        do_me = jnp.where(hit & scatter_ok, ~lam_on, do_me)
+    else:
+        gated_e = mat_e
+    scat = hit & scatter_ok
+    died = hit & ~scatter_ok
+
+    zero3 = splat3(shape, (0.0, 0.0, 0.0))
+    one = jnp.ones(shape, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    # e: scattered -> gated_matE + lightE; absorbed -> ungated matE;
+    #    miss -> sky; dead -> 0
+    e = sel3(scat, add3(gated_e, light_e),
+             sel3(died, mat_e, sel3(no_hit, sky, zero3)))
+    # c: scattered -> attenuation; terminal (died/miss) -> 0; dead -> 1
+    c = sel3(scat, attenuation,
+             sel3(died | no_hit, (zero, zero, zero), (one, one, one)))
+
+    ro = sel3(scat, pos, ro)
+    rd = sel3(scat, new_dir, rd)
+    state = jnp.where(hit, new_state, state)
+    alive = scat
+
+    return (ro, rd, alive, do_me, state, raycnt), e, c
+
+
+def bounce_step(port: ScenePort, cfg: RenderConfig, carry,
+                samplers: Samplers = GPU_SAMPLERS):
+    """GPU-form bounce with downward accumulation: col += atten*e;
+    atten *= c (exactly hlsl:318-319's float association)."""
+    ro, rd, col, atten, alive, do_me, state, raycnt = carry
+    sub, e, c = bounce_parts(port, cfg, (ro, rd, alive, do_me, state, raycnt),
+                             samplers)
+    ro, rd, alive, do_me, state, raycnt = sub
+    col = add3(col, mul3(atten, e))
+    atten = mul3(atten, c)
+    return ro, rd, col, atten, alive, do_me, state, raycnt
+
+
+def tail_parts(port: ScenePort, cfg: RenderConfig, carry):
+    """The CPU recursion's depth==kMaxDepth level (reference:
+    Test.cpp:195-234 with `depth < kMaxDepth` failing): one more HitWorld;
+    hits yield *ungated* material emission, misses yield sky; no scatter,
+    no RNG.  Only the parity path uses this -- the GPU ports stop at
+    depth kMaxDepth-1 (ComputeShader.hlsl:300)."""
+    ro, rd, alive, do_me, state, raycnt = carry
+    raycnt = raycnt + alive.astype(jnp.int32)
+    res = hit_spheres(port, ro, rd, cfg.min_t, cfg.max_t, want_material=True)
+    hit = alive & (res.hit_id >= 0)
+    no_hit = alive & (res.hit_id < 0)
+    sky = sky_color(rd, cfg)
+    shape = jnp.shape(rd[0])
+    zero3 = splat3(shape, (0.0, 0.0, 0.0))
+    e = sel3(hit, res.em, sel3(no_hit, sky, zero3))
+    c = zero3
+    alive = jnp.zeros_like(alive)
+    return (ro, rd, alive, do_me, state, raycnt), e, c
+
+
+def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
+          differentiable: bool = False,
+          samplers: Samplers = GPU_SAMPLERS):
+    """Full iterative trace of a ray batch: `max_depth` bounce steps with
+    GPU-form downward accumulation.
+
+    differentiable=False uses lax.while_loop with whole-batch early exit
+    (fast forward path); differentiable=True uses a fixed-trip fori_loop
+    (reverse-mode differentiable).
+
+    Returns (color vec3, final rng state, per-lane ray count int32).
+    """
+    shape = jnp.shape(ro[0])
+    col = splat3(shape, (0.0, 0.0, 0.0))
+    atten = splat3(shape, (1.0, 1.0, 1.0))
+    alive = jnp.ones(shape, bool)
+    do_me = jnp.ones(shape, bool)
+    raycnt = jnp.zeros(shape, jnp.int32)
+    carry = (ro, rd, col, atten, alive, do_me, state, raycnt)
+
+    if differentiable:
+        carry = jax.lax.fori_loop(
+            0, cfg.max_depth,
+            lambda _, c: bounce_step(port, cfg, c, samplers), carry)
+    else:
+        def cond(dc):
+            d, c = dc
+            return (d < cfg.max_depth) & jnp.any(c[4])
+
+        def body(dc):
+            d, c = dc
+            return d + 1, bounce_step(port, cfg, c, samplers)
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+
+    ro, rd, col, atten, alive, do_me, state, raycnt = carry
+    return col, state, raycnt
+
+
+def trace_cpu_exact(port: ScenePort, cfg: RenderConfig, ro, rd, state):
+    """CPU-reference-exact trace: rejection samplers, the extra
+    depth==kMaxDepth tail level, and -- crucially -- *recursive* float
+    association: radiance_d = e_d + c_d * radiance_{d+1} folded backward
+    (Test.cpp:216 multiplies attenuation on the way up; the GPU form
+    accumulates downward, which rounds differently)."""
+    shape = jnp.shape(ro[0])
+    alive = jnp.ones(shape, bool)
+    do_me = jnp.ones(shape, bool)
+    raycnt = jnp.zeros(shape, jnp.int32)
+    carry = (ro, rd, alive, do_me, state, raycnt)
+
+    parts = []
+    for _ in range(cfg.max_depth):
+        carry, e, c = bounce_parts(port, cfg, carry, CPU_SAMPLERS)
+        parts.append((e, c))
+    carry, e, c = tail_parts(port, cfg, carry)
+    parts.append((e, c))
+
+    col = splat3(shape, (0.0, 0.0, 0.0))
+    for e, c in reversed(parts):
+        col = add3(e, mul3(c, col))
+
+    _, _, _, _, state, raycnt = carry
+    return col, state, raycnt
+
+
+def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
+                  differentiable: bool = False,
+                  samplers: Samplers = GPU_SAMPLERS):
+    """Render a block of pixels: seed, spp camera samples, trace, average.
+
+    px, py: integer pixel coordinate arrays (any shape); y=0 is the bottom
+    image row (v ~ 0), matching the reference backbuffer layout
+    (Test.cpp:278-297).  Mirrors the HLSL main() body
+    (ComputeShader.hlsl:377-388).
+    """
+    state = seed_pixels(px, py, frame)
+    shape = jnp.shape(px)
+    col = splat3(shape, (0.0, 0.0, 0.0))
+    raycnt = jnp.zeros(shape, jnp.int32)
+    fx = px.astype(jnp.float32)
+    fy = py.astype(jnp.float32)
+    for _ in range(cfg.samples_per_pixel):
+        state, ur = rand01(state)
+        u = (fx + ur) * jnp.float32(cfg.inv_width)
+        state, vr = rand01(state)
+        v = (fy + vr) * jnp.float32(cfg.inv_height)
+        state, ro, rd = camera_get_ray(cam, u, v, state, samplers)
+        c, state, rc = trace(port, cfg, ro, rd, state,
+                             differentiable=differentiable,
+                             samplers=samplers)
+        col = add3(col, c)
+        raycnt = raycnt + rc
+    col = scale3(col, jnp.float32(1.0 / cfg.samples_per_pixel))
+    return col, raycnt

@@ -1,0 +1,107 @@
+"""Frame orchestration: animation, progressive accumulation, sessions.
+
+TPU-native equivalent of the reference's UpdateTest/DrawTest pair
+(reference: Cpp/Source/Test.cpp:240-367).  The mutable global state of the
+reference (sphere array, accumulation backbuffer, frame counter) becomes an
+explicit, checkpointable `FrameState` pytree threaded through a pure jitted
+step -- the progressive accumulation buffer IS the checkpoint/resume state
+(see SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
+from ..scene import Scene
+from . import wavefront
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameState:
+    """Progressive accumulation state: (accum buffer, frame count).
+    Reference analog: g_Backbuffer + frameCount (TestWin.cpp:308-340);
+    reset to zero whenever flags are toggled (TestWin.cpp:424-431)."""
+
+    accum: jax.Array        # (H, W, 3) f32 running average
+    frame: jax.Array        # () int32
+
+
+def init_frame_state(cfg: RenderConfig) -> FrameState:
+    return FrameState(
+        accum=jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        frame=jnp.int32(0),
+    )
+
+
+def lerp_factor(frame, flags: int, cfg: RenderConfig):
+    """Progressive blend factor (reference: Test.cpp:272-276):
+    lerpFac = frame/(frame+1), x animate_smoothing when animating,
+    0 when not progressive."""
+    fac = frame.astype(jnp.float32) / (frame.astype(jnp.float32) + 1.0)
+    if flags & FLAG_ANIMATE:
+        fac = fac * jnp.float32(cfg.animate_smoothing)
+    if not (flags & FLAG_PROGRESSIVE):
+        fac = jnp.zeros_like(fac)
+    return fac
+
+
+def scene_for_frame(scene: Scene, time, flags: int) -> Scene:
+    """UpdateTest's scene mutation step (reference: Test.cpp:304-308)."""
+    if flags & FLAG_ANIMATE:
+        return scene.animate(time)
+    return scene
+
+
+@partial(jax.jit, static_argnames=("cfg", "flags", "render_fn"))
+def progressive_step(state: FrameState, scene: Scene, time,
+                     cfg: RenderConfig, flags: int = FLAG_PROGRESSIVE,
+                     render_fn: Optional[Callable] = None):
+    """One UpdateTest+DrawTest step: animate, render, blend into the
+    accumulator.  Returns (new_state, displayed image, ray count).
+
+    `render_fn(scene, cfg, frame) -> (img, raycount)` defaults to the jnp
+    wavefront renderer; the Pallas and sharded renderers slot in here.
+    """
+    if render_fn is None:
+        render_fn = wavefront.render_frame
+    scene_t = scene_for_frame(scene, time, flags)
+    img, raycount = render_fn(scene_t, cfg, state.frame)
+    fac = lerp_factor(state.frame, flags, cfg)
+    # NaN guard on the history buffer (reference: Shaders.metal TraceGPU
+    # tail: !isfinite(prev) -> 0).
+    prev = jnp.where(jnp.isfinite(state.accum), state.accum, 0.0)
+    blended = prev * fac + img * (1.0 - fac)
+    new_state = FrameState(accum=blended, frame=state.frame + 1)
+    return new_state, blended, raycount
+
+
+class RenderSession:
+    """Stateful convenience wrapper for CLIs/frontends: owns the FrameState,
+    resets it on flag toggles (reference: TestWin.cpp:419-432)."""
+
+    def __init__(self, scene: Scene, cfg: RenderConfig,
+                 flags: int = FLAG_PROGRESSIVE,
+                 render_fn: Optional[Callable] = None):
+        self.scene = scene
+        self.cfg = cfg
+        self.flags = flags
+        self.render_fn = render_fn
+        self.state = init_frame_state(cfg)
+
+    def set_flags(self, flags: int):
+        if flags != self.flags:
+            self.flags = flags
+            self.state = init_frame_state(self.cfg)  # reset accumulation
+
+    def step(self, time: float):
+        self.state, img, raycount = progressive_step(
+            self.state, self.scene, jnp.float32(time), self.cfg, self.flags,
+            self.render_fn)
+        return img, raycount
