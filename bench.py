@@ -1,0 +1,103 @@
+"""Headline benchmark: Mray/s on the reference's own workload.
+
+Workload (matches every row of BASELINE.md): the 46-sphere / 2-emissive big
+scene, 1280x720, 4 samples/pixel, maxDepth 10, progressive accumulation,
+counting every primary, bounce, and shadow ray (reference: readme.md:32,
+Cpp/Source/Config.h:6-7,22, ray counting at Test.cpp:122,199).
+
+Method: the whole N-frame progressive sequence runs as ONE jitted
+lax.scan on device (per-frame Python dispatch costs ~50ms on this host,
+which would swamp a ~10ms frame), then a host transfer of the final image
+forces completion for timing.  Backend: the Pallas wavefront kernel on TPU,
+the XLA jnp wavefront renderer elsewhere (override with BENCH_BACKEND).
+
+Prints ONE JSON line:
+  {"metric": "Mray/s", "value": N, "unit": "Mray/s", "vs_baseline": N}
+vs_baseline is value / 2000 -- the north-star per-chip target from
+BASELINE.md (between the reference's GTX 1080 Ti [1854] and RTX 3080 Ti
+[3920] D3D11 numbers).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MRAYS = 2000.0
+FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import toypathtracer_tpu as tpt
+
+    platform = jax.devices()[0].platform
+    backend = os.environ.get(
+        "BENCH_BACKEND", "pallas" if platform == "tpu" else "jnp")
+    cfg = tpt.RenderConfig(width=1280, height=720, samples_per_pixel=4,
+                           max_depth=10)
+    scene = tpt.make_scene(big=True)
+
+    if backend == "pallas":
+        from toypathtracer_tpu.ops.pallas_render import render_frame_pallas
+        render = render_frame_pallas
+    else:
+        from toypathtracer_tpu.render.wavefront import render_frame
+        render = render_frame
+    log(f"bench: backend={backend} platform={platform} "
+        f"device={jax.devices()[0].device_kind} frames={FRAMES}")
+
+    @jax.jit
+    def run_sequence(scene):
+        """FRAMES progressive frames fused into one device program."""
+        accum0 = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+        def step(accum, i):
+            img, rays = render(scene, cfg, i)
+            fac = i.astype(jnp.float32) / (i.astype(jnp.float32) + 1.0)
+            accum = accum * fac + img * (1.0 - fac)
+            return accum, rays
+
+        accum, rays = jax.lax.scan(step, accum0,
+                                   jnp.arange(FRAMES, dtype=jnp.int32))
+        return accum, rays
+
+    # Warmup: compile + one full execution (axon's block_until_ready is
+    # unreliable; a host transfer is the sync).
+    t0 = time.perf_counter()
+    img, rays = run_sequence(scene)
+    img_h = np.asarray(img)
+    rays_h = np.asarray(rays)
+    log(f"bench: warmup (compile+run) {time.perf_counter() - t0:.1f}s, "
+        f"rays/frame {rays_h.mean() / 1e6:.2f}M, "
+        f"img mean {img_h.mean():.4f}")
+
+    # Timed run.
+    t0 = time.perf_counter()
+    img, rays = run_sequence(scene)
+    img_h = np.asarray(img)
+    total_rays = int(np.asarray(rays).astype(np.int64).sum())
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt * 1e-6
+    log(f"bench: {FRAMES} frames in {dt * 1000:.1f}ms -> "
+        f"{dt / FRAMES * 1000:.2f}ms/frame, {mrays:.1f} Mray/s")
+    if not np.isfinite(img_h).all():
+        log("bench: WARNING - non-finite pixels in output")
+    print(json.dumps({
+        "metric": "Mray/s",
+        "value": round(mrays, 1),
+        "unit": "Mray/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Gradient tests: finiteness, finite-difference agreement, inverse
+rendering convergence, and sharded-gradient equivalence.
+
+The reference has no gradients; these validate the framework's north-star
+extension (BASELINE.json config 3).  FD comparisons use interior points
+(smooth parameters like albedo/emissive, and small perturbations for
+geometry) per SURVEY.md section 7 "hard parts": visibility discontinuities
+make FD at silhouette edges meaningless.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toypathtracer_tpu import RenderConfig
+from toypathtracer_tpu.inverse import (
+    InverseRenderer, make_sharded_value_and_grad, render_loss,
+    scene_grad_mask)
+from toypathtracer_tpu.render.wavefront import render_frame
+
+CFG = RenderConfig(width=128, height=16, samples_per_pixel=2, max_depth=4)
+
+
+def _loss_fn(scene, cfg=CFG, frame=0):
+    img, _ = render_frame(scene, cfg, jnp.int32(frame), differentiable=True)
+    return jnp.mean(img)
+
+
+def test_grads_finite_all_params(big_scene):
+    grads = jax.jit(jax.grad(_loss_fn))(big_scene)
+    for f in ("center", "radius", "albedo", "emissive", "roughness", "ri"):
+        g = np.asarray(getattr(grads, f))
+        assert np.isfinite(g).all(), f"non-finite grad in {f}"
+    # light must influence the image
+    assert np.abs(np.asarray(grads.emissive)).max() > 0
+
+
+def test_albedo_grad_matches_fd(big_scene):
+    """Albedo enters the radiance near-polynomially -- FD must agree
+    tightly at interior points."""
+    loss = jax.jit(_loss_fn)
+    grads = jax.jit(jax.grad(_loss_fn))(big_scene)
+    eps = 1e-3
+    # sphere 2 (center lambert sphere) red albedo: clearly visible
+    i, c = 2, 0
+    g_ad = float(np.asarray(grads.albedo)[i, c])
+    alb = big_scene.albedo
+
+    def at(delta):
+        s = big_scene.replace(albedo=alb.at[i, c].add(delta))
+        return float(loss(s))
+
+    g_fd = (at(eps) - at(-eps)) / (2 * eps)
+    assert g_ad != 0.0
+    assert abs(g_ad - g_fd) <= 0.05 * abs(g_fd) + 1e-6, (g_ad, g_fd)
+
+
+def test_emissive_grad_matches_fd(big_scene):
+    loss = jax.jit(_loss_fn)
+    grads = jax.jit(jax.grad(_loss_fn))(big_scene)
+    eps = 1e-2
+    i, c = 8, 0  # the big emissive sphere
+    g_ad = float(np.asarray(grads.emissive)[i, c])
+    em = big_scene.emissive
+
+    def at(delta):
+        s = big_scene.replace(emissive=em.at[i, c].add(delta))
+        return float(loss(s))
+
+    g_fd = (at(eps) - at(-eps)) / (2 * eps)
+    assert g_ad != 0.0
+    assert abs(g_ad - g_fd) <= 0.05 * abs(g_fd) + 1e-7, (g_ad, g_fd)
+
+
+def test_sharded_grads_match_single_device(big_scene):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    from toypathtracer_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    target, _ = render_frame(big_scene, CFG, jnp.int32(0))
+    target = jax.lax.stop_gradient(target)
+    scene_p = big_scene.replace(center=big_scene.center + 0.03)
+
+    loss1, grads1 = jax.jit(jax.value_and_grad(
+        lambda s: render_loss(s, target, CFG, jnp.int32(1))))(scene_p)
+    vg = jax.jit(make_sharded_value_and_grad(CFG, mesh))
+    lossn, gradsn = vg(scene_p, target, jnp.int32(1))
+
+    np.testing.assert_allclose(float(loss1), float(lossn), rtol=1e-6)
+    for f in ("center", "radius", "albedo", "emissive"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads1, f)), np.asarray(getattr(gradsn, f)),
+            rtol=1e-4, atol=1e-7, err_msg=f)
+
+
+def test_inverse_rendering_recovers_albedo(small_scene):
+    """Config-3 smoke: perturb an albedo, Adam on pixel L2 must reduce the
+    loss and move the albedo back toward the truth.  Deterministic mode
+    (resample=False): with per-frame resampling the loss is swamped by the
+    Monte-Carlo noise floor between sample sets even as the parameters
+    converge (observed: albedo error 0.53 -> 0.06 while the resampled loss
+    plateaued at the ~1.0 noise floor)."""
+    cfg = RenderConfig(width=64, height=16, samples_per_pixel=2, max_depth=4)
+    target, _ = render_frame(small_scene, cfg, jnp.int32(0))
+    target = jax.lax.stop_gradient(target)
+
+    true_alb = np.asarray(small_scene.albedo)
+    # perturb the floor sphere -- it covers a large image area
+    start = small_scene.replace(
+        albedo=small_scene.albedo.at[0].set(jnp.asarray([0.2, 0.9, 0.9])))
+    inv = InverseRenderer(cfg, target, trainable=("albedo",),
+                          learning_rate=5e-2)
+    fitted, losses = inv.fit(start, steps=25, resample=False)
+
+    assert losses[-1] < losses[0] * 0.3, losses
+    err0 = np.abs(np.asarray(start.albedo)[0] - true_alb[0]).mean()
+    err1 = np.abs(np.asarray(fitted.albedo)[0] - true_alb[0]).mean()
+    assert err1 < err0 * 0.5, (err0, err1)
+
+
+def test_grad_mask_freezes_fields(big_scene):
+    mask = scene_grad_mask(big_scene, ("albedo",))
+    assert float(np.asarray(mask.albedo).min()) == 1.0
+    assert float(np.asarray(mask.center).max()) == 0.0
+    with pytest.raises(ValueError):
+        scene_grad_mask(big_scene, ("nope",))

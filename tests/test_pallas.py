@@ -1,0 +1,62 @@
+"""Pallas kernel correctness (interpret mode on CPU).
+
+The Pallas wavefront kernel and the jnp wavefront renderer execute the same
+trace core (ops/tracecore.py), so their outputs must be BIT-IDENTICAL --
+the TPU version of the reference's cross-implementation consistency
+discipline (SURVEY.md section 4 item 5).  Real-TPU (Mosaic-compiled)
+equality is exercised by the verify flow and bench.py, not here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toypathtracer_tpu import RenderConfig
+from toypathtracer_tpu.ops.pallas_render import (
+    pack_scene, render_frame_pallas, render_tile_pallas)
+from toypathtracer_tpu.render.wavefront import render_frame, render_tile
+
+CFG = RenderConfig(width=128, height=16, samples_per_pixel=2, max_depth=10,
+                   tile_h=8, tile_w=128)
+
+
+def test_pallas_matches_jnp_bitexact(big_scene):
+    img_j, rc_j = render_frame(big_scene, CFG, jnp.int32(3))
+    img_p, rc_p = render_frame_pallas(big_scene, CFG, jnp.int32(3),
+                                      interpret=True)
+    assert int(rc_j) == int(rc_p)
+    np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
+
+
+def test_pallas_tile_offsets(big_scene):
+    """A sub-image rendered with offsets must equal the matching slice of
+    the full frame (the contract the row-sharded path relies on)."""
+    img_full, _ = render_frame(big_scene, CFG, jnp.int32(1))
+    sub, _ = render_tile_pallas(big_scene, CFG, jnp.int32(1),
+                                x0=0, y0=8, height=8, width=128,
+                                interpret=True)
+    sub = np.transpose(np.asarray(sub), (1, 2, 0))
+    np.testing.assert_array_equal(np.asarray(img_full)[8:16], sub)
+
+
+def test_pack_scene_layout(big_scene):
+    packed = np.asarray(pack_scene(big_scene))
+    assert packed.shape == (14, big_scene.n_spheres)
+    np.testing.assert_allclose(packed[0], np.asarray(big_scene.center)[:, 0])
+    np.testing.assert_allclose(
+        packed[3], np.asarray(big_scene.radius) ** 2, rtol=1e-6)
+    np.testing.assert_allclose(
+        packed[4] * np.asarray(big_scene.radius), 1.0, rtol=1e-6)
+
+
+def test_arbitrary_size_pad_and_crop(big_scene):
+    """Non-tile-multiple sizes are padded, rendered, cropped -- and the
+    ray count must exclude the padded pixels (exact match vs jnp)."""
+    cfg = RenderConfig(width=100, height=12, samples_per_pixel=1,
+                       max_depth=4, tile_h=8, tile_w=128)
+    img_j, rc_j = render_frame(big_scene, cfg, jnp.int32(2))
+    img_p, rc_p = render_frame_pallas(big_scene, cfg, jnp.int32(2),
+                                      interpret=True)
+    assert img_p.shape == (12, 100, 3)
+    assert int(rc_j) == int(rc_p)
+    np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))

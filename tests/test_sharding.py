@@ -1,0 +1,48 @@
+"""Multi-device sharding tests (8 virtual CPU devices via conftest).
+
+The sharded renderer must produce bit-identical images to the single-device
+renderer: sharding only redistributes pixels (the reference's row fan-out,
+Test.cpp:356-361, likewise never changes results), and the psum'd ray
+counter must equal the global count (the atomic reduction, Test.cpp:299).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toypathtracer_tpu import RenderConfig
+from toypathtracer_tpu.parallel.mesh import make_mesh, render_frame_sharded_jit
+from toypathtracer_tpu.render.wavefront import render_frame
+
+CFG = RenderConfig(width=128, height=16, samples_per_pixel=2, max_depth=6)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    return make_mesh()
+
+
+def test_sharded_matches_single_device(big_scene, mesh):
+    img1, rays1 = render_frame(big_scene, CFG, jnp.int32(1))
+    imgn, raysn = render_frame_sharded_jit(big_scene, CFG, jnp.int32(1), mesh)
+    assert imgn.shape == (CFG.height, CFG.width, 3)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(imgn))
+    assert int(rays1) == int(raysn)
+
+
+def test_sharded_output_sharding(big_scene, mesh):
+    imgn, _ = render_frame_sharded_jit(big_scene, CFG, jnp.int32(0), mesh)
+    # image rows are sharded over the mesh; per-device shard is H/n rows
+    n = mesh.shape["rows"]
+    shard_shapes = {s.data.shape for s in imgn.addressable_shards}
+    assert shard_shapes == {(CFG.height // n, CFG.width, 3)}
+
+
+def test_indivisible_height_rejected(big_scene, mesh):
+    bad = RenderConfig(width=128, height=12, samples_per_pixel=1)
+    with pytest.raises(ValueError):
+        from toypathtracer_tpu.parallel.mesh import render_frame_sharded
+        render_frame_sharded(big_scene, bad, jnp.int32(0), mesh)

@@ -112,6 +112,38 @@ def test_mitsuba_compare_mode(small_scene):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_fused_equals_lockstep(big_scene):
+    """The persistent-wavefront (fused) sample loop runs the same per-lane
+    op sequence as the lockstep spp loop: ray counts (and hence RNG
+    consumption and bounce structure) must match EXACTLY.  Pixel values
+    agree only to ~1e-3: XLA codegen (FMA contraction / fusion) differs
+    between the two loop bodies, so last-ulp differences amplify through
+    the bounce chain -- verified empirically that inputs to each bounce
+    are bit-identical while outputs drift."""
+    import jax
+    from toypathtracer_tpu.camera import make_camera
+    from toypathtracer_tpu.ops import tracecore as tc
+    from toypathtracer_tpu.render.wavefront import ArrayScenePort
+
+    cfg = RenderConfig(width=64, height=16, samples_per_pixel=4,
+                       max_depth=10)
+    port = ArrayScenePort(big_scene)
+    cam = make_camera(big_scene.camera, cfg.width / cfg.height)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (16, 64), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (16, 64), 1)
+
+    cl, rl = jax.jit(lambda: tc.render_pixels_lockstep(
+        port, cfg, cam, xx, yy, jnp.int32(5)))()
+    cf, rf = jax.jit(lambda: tc.render_pixels_fused(
+        port, cfg, cam, xx, yy, jnp.int32(5)))()
+    np.testing.assert_array_equal(np.asarray(rl), np.asarray(rf))
+    for a, b in zip(cl, cf):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 0.02, np.abs(a - b).max()
+        # the overwhelming majority of lanes are bit-equal
+        assert (a == b).mean() > 0.5
+
+
 def test_gpu_vs_cpu_semantics_converge(big_scene):
     """The wavefront (GPU-sampler) and parity (CPU-sampler) renderers are
     different estimators of the same integral: their multi-frame means must

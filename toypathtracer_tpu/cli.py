@@ -1,0 +1,122 @@
+"""Headless CLI: render N frames, print the reference HUD, dump an image.
+
+Modeled on the reference's C# command-line entry (reference:
+Cs/Program.cs:7-59: 30 frames at 1280x720, per-frame Mray/s print, TGA
+dump) with the exact cross-frontend HUD format
+`"%.2fms (%.1f FPS) %.1fMrays/s %.2fMrays/frame frames %i"`
+(reference: Cpp/Windows/TestWin.cpp:330, Cpp/Apple/Renderer.mm:251-253,
+Cs/Program.cs:31).  Ray counting matches the reference: every primary,
+bounce, and shadow ray increments the counter (Test.cpp:122, 199).
+
+Usage:
+    python -m toypathtracer_tpu [--frames 30] [--width 1280 --height 720]
+        [--backend auto|pallas|jnp|parity|sharded] [--small] [--animate]
+        [--no-progressive] [--output out.png|out.tga]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+
+import numpy as np
+
+from . import io as image_io
+from .config import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
+from .render.frame import RenderSession
+from .scene import make_scene
+
+
+def _pick_backend(name: str):
+    """Resolve a backend name to a render_fn(scene, cfg, frame) or None
+    (None = the default jnp wavefront renderer)."""
+    import jax
+
+    if name == "auto":
+        name = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+    if name == "jnp":
+        return None, "jnp"
+    if name == "pallas":
+        from .ops.pallas_render import render_frame_pallas
+        return render_frame_pallas, "pallas"
+    if name == "parity":
+        from .render.parity import render_frame_parity
+        return render_frame_parity, "parity"
+    if name == "sharded":
+        from .parallel.mesh import make_mesh, render_frame_sharded_jit
+        mesh = make_mesh()
+        fn = partial(render_frame_sharded_jit, mesh=mesh)
+        return (lambda scene, cfg, frame: fn(scene, cfg, frame)), \
+            f"sharded x{len(mesh.devices.ravel())}"
+    raise SystemExit(f"unknown backend {name!r}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="toypathtracer_tpu",
+        description="TPU-native path tracer (ToyPathTracer capabilities)")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--max-depth", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=30,
+                    help="frames to render (reference CLI renders 30)")
+    ap.add_argument("--small", action="store_true",
+                    help="9-sphere scene instead of the 46-sphere big scene")
+    ap.add_argument("--mitsuba-compare", action="store_true",
+                    help="flat sky / zero aperture / mirror metal, for "
+                         "comparison against Mitsuba/scene.xml")
+    ap.add_argument("--no-light-sampling", action="store_true")
+    ap.add_argument("--animate", action="store_true",
+                    help="animate spheres 1 and 8 (kFlagAnimate)")
+    ap.add_argument("--no-progressive", action="store_true",
+                    help="disable progressive accumulation (kFlagProgressive)")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "pallas", "jnp", "parity", "sharded"])
+    ap.add_argument("--output", default="output.png",
+                    help=".png or .tga (reference dumps output.tga)")
+    args = ap.parse_args(argv)
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height,
+        samples_per_pixel=args.spp, max_depth=args.max_depth,
+        do_light_sampling=not args.no_light_sampling,
+        do_mitsuba_compare=args.mitsuba_compare,
+    )
+    scene = make_scene(big=not args.small,
+                       mitsuba_compare=args.mitsuba_compare)
+    flags = 0
+    if not args.no_progressive:
+        flags |= FLAG_PROGRESSIVE
+    if args.animate:
+        flags |= FLAG_ANIMATE
+
+    render_fn, backend_name = _pick_backend(args.backend)
+    sess = RenderSession(scene, cfg, flags=flags, render_fn=render_fn)
+
+    import jax
+    print(f"backend={backend_name} device={jax.devices()[0].device_kind} "
+          f"scene={'9' if args.small else '46'}-sphere "
+          f"{cfg.width}x{cfg.height} spp={cfg.samples_per_pixel}")
+
+    from .profiling import hud_string
+
+    img = None
+    for f in range(args.frames):
+        t0 = time.perf_counter()
+        img, raycount = sess.step(time=f / 60.0)
+        # force completion via a host transfer (device sync)
+        rays = int(np.asarray(raycount))
+        dt = time.perf_counter() - t0
+        # the reference HUD string (TestWin.cpp:330)
+        print(hud_string("TPU path tracer", dt, rays, f + 1))
+
+    if args.output and img is not None:
+        image_io.write_image(args.output, np.asarray(img))
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,8 +45,10 @@ class RenderConfig:
     animate_smoothing: float = 0.9
 
     # TPU-specific knobs (no reference analog; tuning only -- they never
-    # change the rendered image).
-    tile_h: int = 80   # Pallas pixel-tile height (must divide height)
+    # change the rendered image).  (8, 128) = one VREG per live array:
+    # the whole wavefront state stays register-resident, kernel VMEM
+    # stack stays small, and per-tile early exit is fine-grained.
+    tile_h: int = 8    # Pallas pixel-tile height (must divide height)
     tile_w: int = 128  # Pallas pixel-tile width (must divide width)
 
     def replace(self, **kw) -> "RenderConfig":

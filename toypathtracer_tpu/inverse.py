@@ -1,0 +1,161 @@
+"""Differentiable inverse rendering: recover scene parameters from images.
+
+The reference has no analog -- this is the framework's north-star extension
+(BASELINE.json config 3): the scene parameter arrays (`Scene.center`,
+`radius`, `albedo`, `emissive`, `roughness`, `ri`) are optimized with Adam
+on a pixel-L2 loss against a target render.  Gradients flow through the
+full wavefront path tracer (`render/wavefront.py` with fixed-trip bounce
+loops); discontinuous events (nearest-hit argmin, shadow-ray visibility,
+dielectric branch choice) use the straight-through gradient of the selected
+branch -- `jnp.where` routes cotangents only into the chosen values, and
+`ops.tracecore.safe_sqrt_pos` keeps masked-out lanes NaN-free.
+
+Stochasticity: the per-pixel XorShift32 seed depends on the frame index
+(tracecore.seed_pixels), so stepping `frame` each iteration gives a fresh
+sample set -- Adam sees unbiased stochastic gradients of the expected
+image, the same effect as re-sampling a minibatch.
+
+Multi-chip: `make_sharded_value_and_grad` shards image rows over a Mesh
+(pure DP, scene replicated) and psums loss + parameter gradients over ICI
+-- the gradient all-reduce the north star asks for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .config import RenderConfig
+from .render import wavefront
+from .scene import Scene
+
+# Scene fields that carry gradients (the differentiable parameter set).
+PARAM_FIELDS = ("center", "radius", "albedo", "emissive", "roughness", "ri")
+
+
+def scene_grad_mask(scene: Scene, trainable: Sequence[str]) -> Scene:
+    """A Scene-shaped pytree of 0/1 floats selecting trainable fields."""
+    unknown = set(trainable) - set(PARAM_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown trainable fields: {sorted(unknown)}")
+    masks = {
+        f: jnp.full_like(getattr(scene, f),
+                         1.0 if f in trainable else 0.0)
+        for f in PARAM_FIELDS
+    }
+    return scene.replace(**masks)
+
+
+def _mask_grads(grads: Scene, mask: Scene) -> Scene:
+    return grads.replace(**{
+        f: getattr(grads, f) * getattr(mask, f) for f in PARAM_FIELDS
+    })
+
+
+def image_l2(img, target):
+    """Mean squared pixel error (the inverse-rendering objective)."""
+    d = img - target
+    return jnp.mean(d * d)
+
+
+def render_loss(scene: Scene, target, cfg: RenderConfig, frame):
+    """Pixel-L2 of a differentiable single-frame render against `target`."""
+    img, _ = wavefront.render_frame(scene, cfg, frame, differentiable=True)
+    return image_l2(img, target)
+
+
+def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh):
+    """value_and_grad of the pixel-L2 loss with image rows sharded over
+    `mesh` and loss/grads psum-reduced over ICI.
+
+    Per-shard loss is sum-of-squares / global pixel count, so the psum of
+    shard losses equals the global mean and the psum of shard grads equals
+    the global gradient.  Returns `f(scene, target, frame) -> (loss, grads)`
+    (wrap in jit at the call site); `target` is (H, W, 3).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    if cfg.height % n != 0:
+        raise ValueError(f"height {cfg.height} must divide over {n} devices")
+    rows_per = cfg.height // n
+    denom = float(cfg.height * cfg.width * 3)
+
+    def local_loss(scene, target_shard, frame, y0):
+        img, _ = wavefront.render_tile(scene, cfg, frame, 0, y0, rows_per,
+                                       cfg.width, differentiable=True)
+        img = jnp.transpose(img, (1, 2, 0))
+        d = img - target_shard
+        return jnp.sum(d * d) / denom
+
+    def shard_fn(scene, target_shard, frame):
+        y0 = jax.lax.axis_index(axis) * rows_per
+        loss, grads = jax.value_and_grad(local_loss)(scene, target_shard,
+                                                     frame, y0)
+        return jax.lax.psum(loss, axis), jax.lax.psum(grads, axis)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P()),
+        out_specs=(P(), P()),
+    )
+
+
+@dataclasses.dataclass
+class InverseRenderer:
+    """Adam-on-pixel-L2 scene recovery (BASELINE.json config 3).
+
+    Optimizes `trainable` Scene fields to match `target` (H, W, 3 linear
+    radiance, layout as render_frame).  With `mesh` given, loss/grad are
+    row-sharded across devices."""
+
+    cfg: RenderConfig
+    target: jax.Array
+    trainable: Tuple[str, ...] = ("center", "radius", "albedo", "emissive")
+    learning_rate: float = 2e-2
+    mesh: Optional[Mesh] = None
+
+    def __post_init__(self):
+        self.opt = optax.adam(self.learning_rate)
+        if self.mesh is not None:
+            self._vg = make_sharded_value_and_grad(self.cfg, self.mesh)
+        else:
+            self._vg = jax.value_and_grad(
+                lambda s, t, f: render_loss(s, t, self.cfg, f))
+        self._step = jax.jit(self._step_impl)
+
+    def _step_impl(self, scene, opt_state, mask, frame):
+        loss, grads = self._vg(scene, self.target, frame)
+        grads = _mask_grads(grads, mask)
+        updates, opt_state = self.opt.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss
+
+    def fit(self, scene: Scene, steps: int, frame0: int = 0,
+            resample: bool = True, callback: Optional[Callable] = None):
+        """Run `steps` Adam iterations from `scene`.
+
+        resample=True: a fresh per-pixel sample set each step (frame0+i
+        seeds the RNG) -- unbiased stochastic gradients of the expected
+        image, but the loss has a Monte-Carlo noise floor vs a target
+        rendered from a different sample set.  resample=False: keep the
+        target's own frame -- deterministic optimization whose loss can
+        reach ~0 (use when the target was rendered by this framework at
+        `frame0`).  Returns (optimized scene, list of losses)."""
+        mask = scene_grad_mask(scene, self.trainable)
+        opt_state = self.opt.init(scene)
+        losses = []
+        for i in range(steps):
+            frame = frame0 + i if resample else frame0
+            scene, opt_state, loss = self._step(
+                scene, opt_state, mask, jnp.int32(frame))
+            losses.append(loss)
+            if callback is not None:
+                callback(i, loss, scene)
+        return scene, [float(l) for l in losses]

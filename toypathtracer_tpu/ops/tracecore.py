@@ -117,6 +117,17 @@ def pow5(x):
     return x2 * x2 * x
 
 
+def safe_sqrt_pos(x):
+    """sqrt(max(x, 0)) with a NaN-free gradient at x <= 0.
+
+    Plain `sqrt(maximum(x, 0))` back-propagates 0 * inf = NaN cotangents for
+    x <= 0 even when the result is masked out downstream (the double-where
+    trap).  Forward value is identical; sites that consume the result only
+    under an `x > 0` mask keep exact reference semantics."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def schlick(cosine, ri):
     """Fresnel approximation (reference: Maths.h:327-332; the saturate guard
     follows the HLSL port, ComputeShader.hlsl:68-74)."""
@@ -178,7 +189,10 @@ def random_in_unit_sphere(state):
     x = r * jnp.cos(t)
     y = r * jnp.sin(t)
     state, r3 = rand01(state)
-    cube = jnp.cbrt(r3)
+    # x^(1/3) as exp(log(x)/3): the HLSL port's pow(r3, 1/3)
+    # (ComputeShader.hlsl:33) and the only form Mosaic can lower
+    # (jnp.cbrt has no Pallas TPU lowering); log(0) -> -inf -> exp -> 0.
+    cube = jnp.exp(jnp.log(r3) * jnp.float32(1.0 / 3.0))
     return state, (x * cube, y * cube, z * cube)
 
 
@@ -328,24 +342,29 @@ class HitResult(NamedTuple):
     is_dielectric: jax.Array
 
 
-def _hit_spheres_scan(stacked, n, ro, rd, t_min, t_max, want_material):
+def _hit_spheres_scan(stacked, n, ro, rd, t_min, t_max, want_material,
+                      want_geometry=True):
     """Rolled (lax.scan over the sphere axis) variant of hit_spheres --
     identical math/op-order to the unrolled version, tiny HLO graph."""
     shape = jnp.shape(ro[0])
-    f32 = jnp.float32
-    zero = jnp.zeros(shape, f32)
+    # Carry inits derived from the (possibly shard_map-varying) ray data:
+    # constant-built inits are "unvarying" under shard_map and scan then
+    # rejects the body's varying outputs (carry in/out type mismatch).
+    zero = ro[0] * 0.0
+    false_init = zero > 1.0
     init = dict(
-        hit_t=jnp.full(shape, t_max, f32),
-        hit_id=jnp.full(shape, -1, jnp.int32),
-        cx=zero, cy=zero, cz=zero, inv_radius=zero,
+        hit_t=zero + t_max,
+        hit_id=zero.astype(jnp.int32) - 1,
     )
-    keys = ["cx", "cy", "cz", "sq_radius", "inv_radius"]
+    keys = ["cx", "cy", "cz", "sq_radius"]
+    if want_geometry:
+        init.update(cx=zero, cy=zero, cz=zero, inv_radius=zero)
+        keys += ["inv_radius"]
     if want_material:
         init.update(
             alb_r=zero, alb_g=zero, alb_b=zero,
             em_r=zero, em_g=zero, em_b=zero, roughness=zero, ri=zero,
-            is_lam=jnp.zeros(shape, bool), is_met=jnp.zeros(shape, bool),
-            is_die=jnp.zeros(shape, bool),
+            is_lam=false_init, is_met=false_init, is_die=false_init,
         )
         keys += ["alb_r", "alb_g", "alb_b", "em_r", "em_g", "em_b",
                  "roughness", "ri", "is_lam", "is_met", "is_die"]
@@ -359,7 +378,7 @@ def _hit_spheres_scan(stacked, n, ro, rd, t_min, t_max, want_material):
         nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
         c = cox * cox + coy * coy + coz * coz - sp["sq_radius"]
         discr = nb * nb - c
-        discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+        discr_sq = safe_sqrt_pos(discr)
         t0 = nb - discr_sq
         t1 = nb + discr_sq
         t = jnp.where(t0 > t_min, t0, t1)
@@ -375,9 +394,12 @@ def _hit_spheres_scan(stacked, n, ro, rd, t_min, t_max, want_material):
     if not want_material:
         none3 = (zero, zero, zero)
         false_ = sel["hit_id"] < -1
-        return HitResult(sel["hit_t"], sel["hit_id"], sel["cx"], sel["cy"],
-                         sel["cz"], sel["inv_radius"], none3, none3, zero,
-                         zero, false_, false_, false_)
+        gx = sel["cx"] if want_geometry else zero
+        gy = sel["cy"] if want_geometry else zero
+        gz = sel["cz"] if want_geometry else zero
+        gi = sel["inv_radius"] if want_geometry else zero
+        return HitResult(sel["hit_t"], sel["hit_id"], gx, gy, gz, gi,
+                         none3, none3, zero, zero, false_, false_, false_)
     return HitResult(
         sel["hit_t"], sel["hit_id"], sel["cx"], sel["cy"], sel["cz"],
         sel["inv_radius"],
@@ -388,7 +410,8 @@ def _hit_spheres_scan(stacked, n, ro, rd, t_min, t_max, want_material):
     )
 
 
-def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True):
+def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
+                want_geometry=True):
     """Nearest-hit ray-vs-all-spheres query.
 
     Vectorized over the ray lanes; the (small, static) sphere axis is a
@@ -403,17 +426,22 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True):
 
     The sphere loop is unrolled for ports without stacked arrays (Pallas)
     and rolled via lax.scan otherwise (jnp path) -- see ScenePort.
+
+    want_geometry=False (shadow rays): only hit_t/hit_id are tracked --
+    the NEE visibility test needs `hit_id == light` alone, saving the
+    winner-select chain for position/normal data.
     """
     stacked = port.stacked()
     if stacked is not None:
         return _hit_spheres_scan(stacked, port.n, ro, rd, t_min, t_max,
-                                 want_material)
+                                 want_material, want_geometry)
     shape = jnp.shape(ro[0])
     f32 = jnp.float32
     hit_t = jnp.full(shape, t_max, f32)
     hit_id = jnp.full(shape, -1, jnp.int32)
     zero = jnp.zeros(shape, f32)
-    sel = dict(cx=zero, cy=zero, cz=zero, inv_radius=zero)
+    sel = dict(cx=zero, cy=zero, cz=zero, inv_radius=zero) \
+        if want_geometry else {}
     if want_material:
         sel.update(
             alb_r=zero, alb_g=zero, alb_b=zero,
@@ -432,17 +460,19 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True):
         nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
         c = cox * cox + coy * coy + coz * coz - sp.sq_radius
         discr = nb * nb - c
-        discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+        discr_sq = safe_sqrt_pos(discr)
         t0 = nb - discr_sq
         t1 = nb + discr_sq
         t = jnp.where(t0 > t_min, t0, t1)
         msk = (discr > 0.0) & (t > t_min) & (t < hit_t)
         hit_t = jnp.where(msk, t, hit_t)
         hit_id = jnp.where(msk, i, hit_id)
-        sel["cx"] = jnp.where(msk, sp.cx, sel["cx"])
-        sel["cy"] = jnp.where(msk, sp.cy, sel["cy"])
-        sel["cz"] = jnp.where(msk, sp.cz, sel["cz"])
-        sel["inv_radius"] = jnp.where(msk, sp.inv_radius, sel["inv_radius"])
+        if want_geometry:
+            sel["cx"] = jnp.where(msk, sp.cx, sel["cx"])
+            sel["cy"] = jnp.where(msk, sp.cy, sel["cy"])
+            sel["cz"] = jnp.where(msk, sp.cz, sel["cz"])
+            sel["inv_radius"] = jnp.where(msk, sp.inv_radius,
+                                          sel["inv_radius"])
         if want_material:
             m = port.material(i)
             sel["alb_r"] = jnp.where(msk, m.alb[0], sel["alb_r"])
@@ -453,14 +483,26 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True):
             sel["em_b"] = jnp.where(msk, m.em[2], sel["em_b"])
             sel["roughness"] = jnp.where(msk, m.roughness, sel["roughness"])
             sel["ri"] = jnp.where(msk, m.ri, sel["ri"])
-            is_lam = jnp.where(msk, m.mtype == 0, is_lam)
-            is_met = jnp.where(msk, m.mtype == 1, is_met)
-            is_die = jnp.where(msk, m.mtype == 2, is_die)
+            # material-type masks merged with pure i1 logic -- Mosaic cannot
+            # lower jnp.where(mask, <static python bool>, bool_array)
+            # (i8->i1 trunci); m.mtype is static, so pick the branch here.
+            not_msk = ~msk
+            is_lam = is_lam & not_msk
+            is_met = is_met & not_msk
+            is_die = is_die & not_msk
+            if m.mtype == 0:
+                is_lam = is_lam | msk
+            elif m.mtype == 1:
+                is_met = is_met | msk
+            else:
+                is_die = is_die | msk
 
     if not want_material:
         none3 = (zero, zero, zero)
-        return HitResult(hit_t, hit_id, sel["cx"], sel["cy"], sel["cz"],
-                         sel["inv_radius"], none3, none3, zero, zero,
+        return HitResult(hit_t, hit_id,
+                         sel.get("cx", zero), sel.get("cy", zero),
+                         sel.get("cz", zero), sel.get("inv_radius", zero),
+                         none3, none3, zero, zero,
                          hit_id < -1, hit_id < -1, hit_id < -1)
     return HitResult(
         hit_t, hit_id, sel["cx"], sel["cy"], sel["cz"], sel["inv_radius"],
@@ -545,14 +587,14 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
             su = normalize3(cross3(up, sw))
             sv = cross3(sw, su)
             d2 = dot3(sub3(pos, sc), sub3(pos, sc))
-            cos_a_max = jnp.sqrt(
-                jnp.maximum(0.0, 1.0 - es.radius * es.radius / d2))
+            cos_a_max = safe_sqrt_pos(
+                1.0 - es.radius * es.radius / d2)
             st2, eps1 = rand01(state)
             st2, eps2 = rand01(st2)
             # lanes that skipped (self) must not consume the two draws
             state = jnp.where(lane_on, st2, state)
             cos_a = 1.0 - eps1 + eps1 * cos_a_max
-            sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+            sin_a = safe_sqrt_pos(1.0 - cos_a * cos_a)
             phi = jnp.float32(2.0 * KPI) * eps2
             l = add3(
                 add3(scale3(su, jnp.cos(phi) * sin_a),
@@ -560,8 +602,9 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
                 scale3(sw, cos_a),
             )
             # shadow ray: full nearest-hit query, hit must be the light
+            # (id-only: the visibility test needs no geometry/material)
             sh = hit_spheres(port, pos, l, cfg.min_t, cfg.max_t,
-                             want_material=False)
+                             want_material=False, want_geometry=False)
             see = sh.hit_id == e
             omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
             nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
@@ -637,7 +680,7 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     dt = dot3(rd, outward)
     discr = 1.0 - nint * nint * (1.0 - dt * dt)
     refr = sub3(scale3(sub3(rd, scale3(outward, dt)), nint),
-                scale3(outward, jnp.sqrt(jnp.maximum(discr, 0.0))))
+                scale3(outward, safe_sqrt_pos(discr)))
     refl_prob = jnp.where(discr > 0.0, schlick(cosine, res.ri),
                           jnp.float32(1.0))
     st_d, rr = rand01(state)
@@ -647,8 +690,10 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     new_state = jnp.where(lam_on, st_l,
                           jnp.where(met_on, st_m,
                                     jnp.where(die_on, st_d, state)))
-    scatter_ok = jnp.where(lam_on, True,
-                           jnp.where(met_on, met_ok, die_on))
+    # lam_on/met_on/die_on are mutually exclusive, so this is exactly
+    # where(lam_on, True, where(met_on, met_ok, die_on)) in i1 logic
+    # (Mosaic-safe: no bool-constant selects).
+    scatter_ok = lam_on | (met_on & met_ok) | die_on
     new_dir = sel3(lam_on, sdir_l, sel3(met_on, sdir_m, sdir_d))
     attenuation = sel3(lam_on | met_on, res.alb,
                        sel3(die_on,
@@ -660,7 +705,8 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     mat_e = res.em
     if cfg.do_light_sampling:
         gated_e = sel3(do_me, mat_e, splat3(shape, (0., 0., 0.)))
-        do_me = jnp.where(hit & scatter_ok, ~lam_on, do_me)
+        upd = hit & scatter_ok
+        do_me = (upd & ~lam_on) | (~upd & do_me)
     else:
         gated_e = mat_e
     scat = hit & scatter_ok
@@ -730,30 +776,47 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
 
     Returns (color vec3, final rng state, per-lane ray count int32).
     """
-    shape = jnp.shape(ro[0])
-    col = splat3(shape, (0.0, 0.0, 0.0))
-    atten = splat3(shape, (1.0, 1.0, 1.0))
-    alive = jnp.ones(shape, bool)
-    do_me = jnp.ones(shape, bool)
-    raycnt = jnp.zeros(shape, jnp.int32)
+    # Loop-carry inits derived from the ray data, not constants: under
+    # shard_map, constant inits are "unvarying" and scan/while reject the
+    # body's varying outputs (carry type mismatch).  XLA folds the +*0.
+    zero = ro[0] * 0.0
+    col = (zero, zero, zero)
+    atten = (zero + 1.0, zero + 1.0, zero + 1.0)
+    alive = zero < 1.0   # all True
+    do_me = zero < 1.0
+    raycnt = zero.astype(jnp.int32)
     carry = (ro, rd, col, atten, alive, do_me, state, raycnt)
 
     if differentiable:
         carry = jax.lax.fori_loop(
             0, cfg.max_depth,
             lambda _, c: bounce_step(port, cfg, c, samplers), carry)
+        ro, rd, col, atten, alive, do_me, state, raycnt = carry
     else:
+        # Mask vectors cross the while-loop boundary as int32: Mosaic cannot
+        # legalize scf.yield of i1 vectors (the loop body still computes in
+        # i1 -- the encode/decode is exact, so jnp and Pallas agree).
+        def encode(c):
+            ro, rd, col, atten, alive, do_me, state, raycnt = c
+            return (ro, rd, col, atten, alive.astype(jnp.int32),
+                    do_me.astype(jnp.int32), state, raycnt)
+
+        def decode(c):
+            ro, rd, col, atten, alive_i, do_me_i, state, raycnt = c
+            return (ro, rd, col, atten, alive_i != 0, do_me_i != 0,
+                    state, raycnt)
+
         def cond(dc):
             d, c = dc
-            return (d < cfg.max_depth) & jnp.any(c[4])
+            return (d < cfg.max_depth) & (jnp.max(c[4]) > 0)
 
         def body(dc):
             d, c = dc
-            return d + 1, bounce_step(port, cfg, c, samplers)
+            return d + 1, encode(bounce_step(port, cfg, decode(c), samplers))
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
-
-    ro, rd, col, atten, alive, do_me, state, raycnt = carry
+        _, carry = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), encode(carry)))
+        ro, rd, col, atten, alive, do_me, state, raycnt = decode(carry)
     return col, state, raycnt
 
 
@@ -784,16 +847,13 @@ def trace_cpu_exact(port: ScenePort, cfg: RenderConfig, ro, rd, state):
     return col, state, raycnt
 
 
-def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
-                  differentiable: bool = False,
-                  samplers: Samplers = GPU_SAMPLERS):
-    """Render a block of pixels: seed, spp camera samples, trace, average.
-
-    px, py: integer pixel coordinate arrays (any shape); y=0 is the bottom
-    image row (v ~ 0), matching the reference backbuffer layout
-    (Test.cpp:278-297).  Mirrors the HLSL main() body
-    (ComputeShader.hlsl:377-388).
-    """
+def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
+                           frame, differentiable: bool = False,
+                           samplers: Samplers = GPU_SAMPLERS):
+    """Lockstep spp loop: seed, spp sequential camera samples, trace each to
+    completion over all lanes, average.  Mirrors the HLSL main() body
+    (ComputeShader.hlsl:377-388) literally.  This is the differentiable
+    form (fixed-trip loops); the fast path is render_pixels_fused."""
     state = seed_pixels(px, py, frame)
     shape = jnp.shape(px)
     col = splat3(shape, (0.0, 0.0, 0.0))
@@ -813,3 +873,133 @@ def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
         raycnt = raycnt + rc
     col = scale3(col, jnp.float32(1.0 / cfg.samples_per_pixel))
     return col, raycnt
+
+
+def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
+                        frame, samplers: Samplers = GPU_SAMPLERS):
+    """Persistent-wavefront form: ONE while loop where a lane starts its
+    next camera sample the moment its current ray terminates (miss, absorb,
+    or depth cutoff).
+
+    Rationale: in the lockstep spp loop, the whole tile keeps iterating
+    until the *deepest* lane of each sample finishes, so mean lane
+    occupancy collapses as rays die.  Here occupancy stays ~100% until the
+    global tail.  Per-lane everything is sequential and gated exactly like
+    the lockstep form -- same RNG draw order, same bounce structure, same
+    ray counts (asserted exactly in tests/test_wavefront.py).  Pixel values
+    match lockstep to ~1e-3, not bitwise: XLA's FMA/fusion choices differ
+    between the two loop bodies, and last-ulp drift amplifies through the
+    bounce chain (bounce INPUTS verified bit-identical).  The production
+    contract is therefore: jnp-fused and Pallas-fused are mutually
+    bit-identical (same formulation), lockstep is the differentiable
+    sibling, and C++ parity is asserted via render/parity.py.
+
+    Termination semantics per sample match the GPU ports: a ray still
+    alive after max_depth bounces contributes its accumulated color
+    (ComputeShader.hlsl:300's loop bound; no tail sky/emission).
+    """
+    shape = jnp.shape(px)
+    spp = cfg.samples_per_pixel
+    f32 = jnp.float32
+    i32 = jnp.int32
+    fx = px.astype(f32)
+    fy = py.astype(f32)
+    inv_w = jnp.float32(cfg.inv_width)
+    inv_h = jnp.float32(cfg.inv_height)
+
+    state0 = seed_pixels(px, py, frame)
+    # Carry inits derived from state0 (varying under shard_map -- see
+    # trace(); constant inits break scan/while carry typing there).
+    zero_f = (state0 * jnp.uint32(0)).astype(f32)
+    zero_i = zero_f.astype(i32)
+    zero3 = (zero_f, zero_f, zero_f)
+    # carry: ro rd col col_sum atten (vec3 each), state, raycnt,
+    #        alive_i do_me_i started depth (i32 -- Mosaic can't yield i1)
+    carry0 = (zero3, zero3, zero3, zero3, zero3, state0, zero_i,
+              zero_i, zero_i, zero_i, zero_i)
+
+    max_iters = spp * cfg.max_depth  # exact per-lane upper bound
+
+    def cond(dc):
+        d, c = dc
+        alive_i, started = c[7], c[9]
+        has_work = jnp.max(alive_i + (started < spp).astype(i32)) > 0
+        return (d < max_iters) & has_work
+
+    def body(dc):
+        d, c = dc
+        (ro, rd, col, col_sum, atten, state, raycnt,
+         alive_i, do_me_i, started, depth) = c
+        alive = alive_i != 0
+        do_me = do_me_i != 0
+
+        # --- refill: dead lanes with samples remaining start a new ray
+        needs = (~alive) & (started < spp)
+        st2, ur = rand01(state)
+        u = (fx + ur) * inv_w
+        st2, vr = rand01(st2)
+        v = (fy + vr) * inv_h
+        st2, ro_n, rd_n = camera_get_ray(cam, u, v, st2, samplers)
+        state = jnp.where(needs, st2, state)       # gated RNG consumption
+        ro = sel3(needs, ro_n, ro)
+        rd = sel3(needs, rd_n, rd)
+        col = sel3(needs, zero3, col)
+        atten = sel3(needs, splat3(shape, (1.0, 1.0, 1.0)), atten)
+        do_me = needs | do_me
+        depth = jnp.where(needs, depth * 0, depth)
+        started = started + needs.astype(i32)
+        alive = alive | needs
+
+        # --- one bounce for every live lane
+        sub, e, cc = bounce_parts(port, cfg,
+                                  (ro, rd, alive, do_me, state, raycnt),
+                                  samplers)
+        ro, rd, new_alive, do_me, state, raycnt = sub
+        col = add3(col, mul3(atten, e))
+        atten = mul3(atten, cc)
+        depth = depth + alive.astype(i32)
+        new_alive = new_alive & (depth < cfg.max_depth)  # GPU loop bound
+
+        # --- flush finished samples into the per-pixel sum
+        finished = alive & ~new_alive
+        col_sum = (
+            jnp.where(finished, col_sum[0] + col[0], col_sum[0]),
+            jnp.where(finished, col_sum[1] + col[1], col_sum[1]),
+            jnp.where(finished, col_sum[2] + col[2], col_sum[2]),
+        )
+        return d + 1, (ro, rd, col, col_sum, atten, state, raycnt,
+                       new_alive.astype(i32), do_me.astype(i32),
+                       started, depth)
+
+    # Peel the first iteration: Mosaic infers *replicated* vector layouts
+    # for the splat-zero carry inits and then cannot relayout the body's
+    # computed (regular-layout) yields into them ("Invalid relayout: ...
+    # replicated in destination but not in source").  One body application
+    # outside the loop makes every carry slot a computed value; it is
+    # semantically free -- the first iteration always has work (all lanes
+    # start sample 0).
+    _, carry = jax.lax.while_loop(cond, body, body((jnp.int32(0), carry0)))
+    col_sum, raycnt = carry[3], carry[6]
+    return scale3(col_sum, jnp.float32(1.0 / spp)), raycnt
+
+
+def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
+                  differentiable: bool = False,
+                  samplers: Samplers = GPU_SAMPLERS):
+    """Render a block of pixels: seed, spp camera samples, trace, average.
+
+    px, py: integer pixel coordinate arrays (any shape); y=0 is the bottom
+    image row (v ~ 0), matching the reference backbuffer layout
+    (Test.cpp:278-297).
+
+    Dispatch: fused persistent wavefront for the forward path (fast),
+    lockstep fixed-trip loops when differentiable (reverse-mode needs
+    static trip counts).  Same per-lane op sequence; values agree to
+    ~1e-3 (see render_pixels_fused docstring).
+    """
+    if differentiable:
+        return render_pixels_lockstep(port, cfg, cam, px, py, frame,
+                                      differentiable=True,
+                                      samplers=samplers)
+    return render_pixels_fused(port, cfg, cam, px, py, frame,
+                               samplers=samplers)

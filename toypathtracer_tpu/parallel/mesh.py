@@ -1,0 +1,91 @@
+"""Device-mesh sharding of the renderer.
+
+TPU-native replacement for the reference's entire parallel runtime -- the
+enkiTS work-stealing row scheduler (reference: Cpp/Source/enkiTS/, driven
+from Test.cpp:356-361).  Instead of dynamic work stealing over OS threads,
+the image's row axis is sharded statically over a `jax.sharding.Mesh` with
+`shard_map`; the scene parameter pytree is replicated (it is ~46x13 floats),
+and the single cross-worker reduction the reference performs -- the atomic
+ray counter (Test.cpp:262,299) -- becomes a `lax.psum` over ICI.
+
+This is pure data parallelism, which SURVEY.md section 2.3/5 establishes as
+the correct mapping: every ray needs the whole (tiny) scene, so replicate
+the scene and shard the rays.  Multi-host pods use the same code path --
+`jax.distributed.initialize()` + a global mesh makes `shard_map` span hosts,
+with gradient/ray-count psums riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import RenderConfig
+from ..scene import Scene
+from ..render import wavefront
+
+ROWS_AXIS = "rows"
+
+
+def make_mesh(devices=None, axis: str = ROWS_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices.  The single axis carries
+    image rows / ray batches (pure DP -- see module docstring)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _check_divisible(cfg: RenderConfig, n: int):
+    if cfg.height % n != 0:
+        raise ValueError(
+            f"height {cfg.height} must divide evenly over {n} devices")
+
+
+def render_frame_sharded(scene: Scene, cfg: RenderConfig, frame,
+                         mesh: Mesh, render_tile=None):
+    """Render one frame with image rows sharded over `mesh`.
+
+    Each device renders an (H/n, W) horizontal band (the TPU analog of the
+    reference's 4-row enkiTS grains, Test.cpp:356-361); bands are
+    concatenated along the row axis by the output sharding, and the ray
+    count is psum-reduced (the reference's atomic counter, Test.cpp:299).
+
+    `render_tile(scene, cfg, frame, x0, y0, th, tw) -> ((3,th,tw), scalar)`
+    defaults to the jnp wavefront tile renderer; the Pallas tile renderer
+    slots in identically.
+
+    Returns (image (H, W, 3) f32, ray_count scalar int32).
+    """
+    if render_tile is None:
+        render_tile = wavefront.render_tile
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    _check_divisible(cfg, n)
+    rows_per = cfg.height // n
+
+    def shard_fn(scene, frame):
+        dev = jax.lax.axis_index(axis)
+        y0 = dev * rows_per
+        img, raycnt = render_tile(scene, cfg, frame, 0, y0, rows_per,
+                                  cfg.width)
+        img = jnp.transpose(img, (1, 2, 0))
+        return img, jax.lax.psum(raycnt, axis)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis, None, None), P()),
+    )
+    return fn(scene, frame)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_frame_sharded_jit(scene: Scene, cfg: RenderConfig, frame,
+                             mesh: Mesh):
+    return render_frame_sharded(scene, cfg, frame, mesh)
