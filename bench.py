@@ -38,6 +38,11 @@ def main():
     import jax.numpy as jnp
     import toypathtracer_tpu as tpt
 
+    # persistent compile cache: the Pallas kernel takes minutes to build
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_toypt"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     platform = jax.devices()[0].platform
     backend = os.environ.get(
         "BENCH_BACKEND", "pallas" if platform == "tpu" else "jnp")

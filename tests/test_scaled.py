@@ -1,0 +1,63 @@
+"""Scaled-scene (config 5) tests: procedural instancing, Morton chunking,
+AABB-culled traversal correctness.
+
+Chunk culling must be EXACT: a chunk is skipped only when its AABB entry
+distance cannot beat the current best hit, so a 1-chunk (brute force)
+render of the same sphere set must match bit-for-bit."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from toypathtracer_tpu import RenderConfig
+from toypathtracer_tpu.scaled import (
+    ChunkedScenePort, make_scaled_scene, render_frame_scaled)
+
+CFG = RenderConfig(width=48, height=16, samples_per_pixel=1, max_depth=3)
+N = 800
+
+
+def test_scaled_scene_build():
+    s = make_scaled_scene(n=N, chunk=128)
+    n_pad = s.center.shape[0]
+    assert n_pad % 128 == 0 and n_pad >= N
+    assert s.chunk_aabb.shape == (n_pad // 128, 6)
+    # AABBs actually bound their spheres
+    c = np.asarray(s.center).reshape(-1, 128, 3)
+    r = np.asarray(s.radius).reshape(-1, 128)
+    aabb = np.asarray(s.chunk_aabb)
+    assert (c - r[..., None] >= aabb[:, None, :3] - 1e-4).all()
+    assert (c + r[..., None] <= aabb[:, None, 3:] + 1e-4).all()
+    # emissive beacons present and static
+    assert s.emissive_ids == tuple(range(8))
+    assert (np.asarray(s.emissive)[:8] > 0).any(axis=1).all()
+
+
+def test_scaled_render_finite_and_lit():
+    s = make_scaled_scene(n=N, chunk=128)
+    img, rays = render_frame_scaled(s, CFG, jnp.int32(0))
+    a = np.asarray(img)
+    assert a.shape == (16, 48, 3)
+    assert np.isfinite(a).all()
+    assert a.max() > 0.05  # something visible
+    assert int(rays) >= 16 * 48  # at least one ray per pixel
+
+
+def test_chunk_culling_is_exact():
+    """Culled multi-chunk traversal == single-chunk brute force, bitwise."""
+    s_many = make_scaled_scene(n=N, chunk=128)
+    s_one = make_scaled_scene(n=N, chunk=1024)  # >= n -> 1 chunk
+    assert s_one.n_chunks == 1
+    img_m, rays_m = render_frame_scaled(s_many, CFG, jnp.int32(1))
+    img_o, rays_o = render_frame_scaled(s_one, CFG, jnp.int32(1))
+    assert int(rays_m) == int(rays_o)
+    np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_o))
+
+
+def test_chunked_port_shadow_query():
+    s = make_scaled_scene(n=N, chunk=128)
+    port = ChunkedScenePort(s)
+    shape = (4, 8)
+    ro = tuple(jnp.zeros(shape) for _ in range(3))
+    rd = (jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape))  # straight up
+    res = port.hit_chunks(ro, rd, 0.001, 1e7, want_material=False)
+    assert res.hit_id.shape == shape

@@ -149,10 +149,13 @@ def test_gpu_vs_cpu_semantics_converge(big_scene):
     different estimators of the same integral: their multi-frame means must
     agree block-wise."""
     from toypathtracer_tpu.render.parity import render_frame_parity
-    cfg = RenderConfig(width=32, height=24)
-    n = 8
-    acc_w = np.zeros((24, 32, 3))
-    acc_p = np.zeros((24, 32, 3))
+    # 64x36 on purpose: the same cfg as tests/test_parity.py, so the
+    # (very compile-heavy) parity renderer program is reused from the
+    # in-process jit cache when the suite runs together.
+    cfg = RenderConfig(width=64, height=36)
+    n = 6
+    acc_w = np.zeros((36, 64, 3))
+    acc_p = np.zeros((36, 64, 3))
     for f in range(n):
         w, _ = render_frame(big_scene, cfg, jnp.int32(f))
         p, _ = render_frame_parity(big_scene, cfg, jnp.int32(f))
@@ -160,6 +163,6 @@ def test_gpu_vs_cpu_semantics_converge(big_scene):
         acc_p += np.asarray(p)
     ta = np.sqrt(np.clip(acc_w / n, 0, None))
     tb = np.sqrt(np.clip(acc_p / n, 0, None))
-    ab = ta.reshape(6, 4, 8, 4, 3).mean(axis=(1, 3))
-    bb = tb.reshape(6, 4, 8, 4, 3).mean(axis=(1, 3))
+    ab = ta.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
+    bb = tb.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
     assert np.abs(ab - bb).mean() < 0.03, np.abs(ab - bb).mean()

@@ -28,6 +28,14 @@ from .render.frame import RenderSession
 from .scene import make_scene
 
 
+def _enable_compile_cache():
+    import os as _os
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.expanduser("~/.cache/jax_toypt"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def _pick_backend(name: str):
     """Resolve a backend name to a render_fn(scene, cfg, frame) or None
     (None = the default jnp wavefront renderer)."""
@@ -64,6 +72,10 @@ def main(argv=None) -> int:
                     help="frames to render (reference CLI renders 30)")
     ap.add_argument("--small", action="store_true",
                     help="9-sphere scene instead of the 46-sphere big scene")
+    ap.add_argument("--scaled", type=int, default=0, metavar="N",
+                    help="render the procedurally instanced N-sphere scene "
+                         "(chunked AABB-culled traversal) instead of the "
+                         "reference scene")
     ap.add_argument("--mitsuba-compare", action="store_true",
                     help="flat sky / zero aperture / mirror metal, for "
                          "comparison against Mitsuba/scene.xml")
@@ -78,21 +90,36 @@ def main(argv=None) -> int:
                     help=".png or .tga (reference dumps output.tga)")
     args = ap.parse_args(argv)
 
+    _enable_compile_cache()
     cfg = RenderConfig(
         width=args.width, height=args.height,
         samples_per_pixel=args.spp, max_depth=args.max_depth,
         do_light_sampling=not args.no_light_sampling,
         do_mitsuba_compare=args.mitsuba_compare,
     )
-    scene = make_scene(big=not args.small,
-                       mitsuba_compare=args.mitsuba_compare)
+    if args.scaled:
+        from .scaled import make_scaled_scene
+        if args.animate:
+            raise SystemExit("--scaled has no animation path")
+        if args.backend not in ("auto", "jnp"):
+            raise SystemExit("--scaled uses its own chunked renderer")
+        scene = make_scaled_scene(n=args.scaled)
+        args.backend = "__scaled__"
+    else:
+        scene = make_scene(big=not args.small,
+                           mitsuba_compare=args.mitsuba_compare)
     flags = 0
     if not args.no_progressive:
         flags |= FLAG_PROGRESSIVE
     if args.animate:
         flags |= FLAG_ANIMATE
 
-    render_fn, backend_name = _pick_backend(args.backend)
+    if args.backend == "__scaled__":
+        from .scaled import render_frame_scaled
+        render_fn, backend_name = render_frame_scaled, \
+            f"scaled jnp ({args.scaled} spheres)"
+    else:
+        render_fn, backend_name = _pick_backend(args.backend)
     sess = RenderSession(scene, cfg, flags=flags, render_fn=render_fn)
 
     import jax

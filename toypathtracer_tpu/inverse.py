@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .config import RenderConfig
 from .render import wavefront
@@ -98,7 +98,12 @@ def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh):
         y0 = jax.lax.axis_index(axis) * rows_per
         loss, grads = jax.value_and_grad(local_loss)(scene, target_shard,
                                                      frame, y0)
-        return jax.lax.psum(loss, axis), jax.lax.psum(grads, axis)
+        # No explicit psum on grads: shard_map's AD inserts the psum for
+        # cotangents of replicated (in_specs P()) inputs itself -- an
+        # explicit one here double-counts by the mesh size (measured: 8x
+        # on an 8-device mesh).  The loss is a per-shard partial sum and
+        # IS psum'd explicitly.
+        return jax.lax.psum(loss, axis), grads
 
     return shard_map(
         shard_fn, mesh=mesh,

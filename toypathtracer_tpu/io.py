@@ -35,7 +35,15 @@ def linear_to_srgb_cheap(img: np.ndarray) -> np.ndarray:
 
 
 def to_u8(img: np.ndarray, cheap: bool = False) -> np.ndarray:
-    """(H, W, 3) linear bottom-up float -> (H, W, 3) uint8 top-down sRGB."""
+    """(H, W, 3) linear bottom-up float -> (H, W, 3) uint8 top-down sRGB.
+
+    Uses the native C++ encoder (toypathtracer_tpu/libtptnative.so, built
+    from native/tptnative.cpp) when present; numpy otherwise.  Both apply
+    the identical curve -- asserted equal in tests/test_native.py."""
+    from . import native
+    out = native.srgb_encode(img, cheap=cheap)
+    if out is not None:
+        return out
     srgb = linear_to_srgb_cheap(img) if cheap else linear_to_srgb(img)
     u8 = np.clip(srgb * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
     return u8[::-1]  # bottom-up backbuffer -> top-down file

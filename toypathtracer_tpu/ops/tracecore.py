@@ -430,7 +430,15 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     want_geometry=False (shadow rays): only hit_t/hit_id are tracked --
     the NEE visibility test needs `hit_id == light` alone, saving the
     winner-select chain for position/normal data.
+
+    Ports may override the traversal wholesale by exposing
+    `hit_chunks(ro, rd, t_min, t_max, want_material=...)` -- the scaled
+    100k-sphere path (scaled.ChunkedScenePort) plugs in its AABB-culled
+    chunk scan this way.
     """
+    custom = getattr(port, "hit_chunks", None)
+    if custom is not None:
+        return custom(ro, rd, t_min, t_max, want_material=want_material)
     stacked = port.stacked()
     if stacked is not None:
         return _hit_spheres_scan(stacked, port.n, ro, rd, t_min, t_max,
@@ -910,8 +918,9 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     state0 = seed_pixels(px, py, frame)
     # Carry inits derived from state0 (varying under shard_map -- see
     # trace(); constant inits break scan/while carry typing there).
-    zero_f = (state0 * jnp.uint32(0)).astype(f32)
-    zero_i = zero_f.astype(i32)
+    # uint32 -> int32 -> f32: Mosaic has no direct uint32->f32 cast.
+    zero_i = (state0 & jnp.uint32(0)).astype(i32)
+    zero_f = zero_i.astype(f32)
     zero3 = (zero_f, zero_f, zero_f)
     # carry: ro rd col col_sum atten (vec3 each), state, raycnt,
     #        alive_i do_me_i started depth (i32 -- Mosaic can't yield i1)
