@@ -48,6 +48,10 @@ def main():
         "BENCH_BACKEND", "pallas" if platform == "tpu" else "jnp")
     cfg = tpt.RenderConfig(width=1280, height=720, samples_per_pixel=4,
                            max_depth=10)
+    tile = os.environ.get("BENCH_TILE")  # e.g. "16,128" (tuning runs)
+    if tile:
+        th, tw = (int(x) for x in tile.split(","))
+        cfg = cfg.replace(tile_h=th, tile_w=tw)
     scene = tpt.make_scene(big=True)
 
     if backend == "pallas":

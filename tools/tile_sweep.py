@@ -45,14 +45,19 @@ def main():
             acc, rays = run(scene)
             np.asarray(acc)
             compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            acc, rays = run(scene)
-            np.asarray(acc)
-            dt = time.perf_counter() - t0
-            total = int(np.asarray(rays).astype(np.int64).sum())
-            print(f"tile {th}x{tw}: {total/dt*1e-6:8.1f} Mray/s  "
-                  f"({dt/frames*1000:6.2f} ms/frame, compile {compile_s:.0f}s)",
-                  flush=True)
+            # repeat: device throughput varies run to run (shared tunnel);
+            # report every rep and the best
+            mrays = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc, rays = run(scene)
+                np.asarray(acc)
+                dt = time.perf_counter() - t0
+                total = int(np.asarray(rays).astype(np.int64).sum())
+                mrays.append(total / dt * 1e-6)
+            print(f"tile {th}x{tw}: best {max(mrays):8.1f} Mray/s  "
+                  f"reps {['%.0f' % m for m in mrays]} "
+                  f"(compile {compile_s:.0f}s)", flush=True)
         except Exception as e:
             msg = str(e).split("\n")[0][:120]
             print(f"tile {th}x{tw}: FAIL {msg}", flush=True)

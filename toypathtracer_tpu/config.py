@@ -45,11 +45,14 @@ class RenderConfig:
     animate_smoothing: float = 0.9
 
     # TPU-specific knobs (no reference analog; tuning only -- they never
-    # change the rendered image).  (8, 128) = one VREG per live array:
-    # the whole wavefront state stays register-resident, kernel VMEM
-    # stack stays small, and per-tile early exit is fine-grained.
-    tile_h: int = 8    # Pallas pixel-tile height (must divide height)
-    tile_w: int = 128  # Pallas pixel-tile width (must divide width)
+    # change the rendered image).  (16, 128) won a v5e sweep at the
+    # benchmark workload (tools/tile_sweep.py + BENCH_TILE): large enough
+    # to amortize per-tile loop/scalar overhead, small enough to avoid
+    # the vector register spill cliff measured at 32-row tiles.
+    # Non-multiples of the tile are padded and cropped by the Pallas
+    # renderer.
+    tile_h: int = 16   # Pallas pixel-tile height
+    tile_w: int = 128  # Pallas pixel-tile width
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -38,7 +38,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from ..camera import camera_from_array_reader, camera_to_array, make_camera
+
+_CACHE_SCENE = os.environ.get("TPT_CACHE_SCENE", "1") != "0"
 from ..config import RenderConfig
 from ..scene import Scene
 from ..ops import tracecore as tc
@@ -138,7 +142,13 @@ def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids,
     yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
     xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
 
-    port = CachedScenePort(SmemScenePort(scene_ref, mat_type, emissive_ids))
+    port = SmemScenePort(scene_ref, mat_type, emissive_ids)
+    if _CACHE_SCENE:
+        # Hoist all per-sphere SMEM reads before the bounce loop.  A/B'd
+        # on v5e: keeping ~650 scalars live across the while loop trades
+        # SMEM re-reads for scalar-register pressure; toggle via
+        # TPT_CACHE_SCENE=0/1 when tuning.
+        port = CachedScenePort(port)
     cam = camera_from_array_reader(lambda i: cam_ref[i])
 
     col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0])

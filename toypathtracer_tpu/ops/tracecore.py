@@ -443,81 +443,133 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     if stacked is not None:
         return _hit_spheres_scan(stacked, port.n, ro, rd, t_min, t_max,
                                  want_material, want_geometry)
+
+    # Unrolled (Pallas) path, two phases:
+    #   A. running argmin of (t, id) only -- the unavoidable serial
+    #      dependency chain is kept as short as possible;
+    #   B. winner attribute fetch as EXACT one-hot accumulation,
+    #      attr = sum_i [hit_id == i] * attr_i -- every term independent,
+    #      so the compiler can pipeline it freely (unlike a select chain).
+    #      One-hot sums add exact zeros, so results are bit-identical to
+    #      the select-chain form (and to the scan variant above).
     shape = jnp.shape(ro[0])
     f32 = jnp.float32
     hit_t = jnp.full(shape, t_max, f32)
     hit_id = jnp.full(shape, -1, jnp.int32)
     zero = jnp.zeros(shape, f32)
-    sel = dict(cx=zero, cy=zero, cz=zero, inv_radius=zero) \
-        if want_geometry else {}
-    if want_material:
-        sel.update(
-            alb_r=zero, alb_g=zero, alb_b=zero,
-            em_r=zero, em_g=zero, em_b=zero,
-            roughness=zero, ri=zero,
-        )
-        is_lam = jnp.zeros(shape, bool)
-        is_met = jnp.zeros(shape, bool)
-        is_die = jnp.zeros(shape, bool)
 
     for i in range(port.n):
-        sp = port.sphere(i)
-        cox = sp.cx - ro[0]
-        coy = sp.cy - ro[1]
-        coz = sp.cz - ro[2]
-        nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
-        c = cox * cox + coy * coy + coz * coz - sp.sq_radius
-        discr = nb * nb - c
-        discr_sq = safe_sqrt_pos(discr)
-        t0 = nb - discr_sq
-        t1 = nb + discr_sq
-        t = jnp.where(t0 > t_min, t0, t1)
-        msk = (discr > 0.0) & (t > t_min) & (t < hit_t)
+        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min)
+        msk = valid & (t < hit_t)
         hit_t = jnp.where(msk, t, hit_t)
         hit_id = jnp.where(msk, i, hit_id)
+
+    if not want_material and not want_geometry:
+        none3 = (zero, zero, zero)
+        return HitResult(hit_t, hit_id, zero, zero, zero, zero,
+                         none3, none3, zero, zero,
+                         hit_id < -1, hit_id < -1, hit_id < -1)
+
+    geo_keys = ("cx", "cy", "cz", "inv_radius") if want_geometry else ()
+    mat_keys = ("alb_r", "alb_g", "alb_b", "em_r", "em_g", "em_b",
+                "roughness", "ri") if want_material else ()
+    acc = {k: zero for k in geo_keys + mat_keys}
+    is_lam = hit_id < -1
+    is_met = hit_id < -1
+    is_die = hit_id < -1
+    for i in range(port.n):
+        onehot = hit_id == i
+        vals = {}
         if want_geometry:
-            sel["cx"] = jnp.where(msk, sp.cx, sel["cx"])
-            sel["cy"] = jnp.where(msk, sp.cy, sel["cy"])
-            sel["cz"] = jnp.where(msk, sp.cz, sel["cz"])
-            sel["inv_radius"] = jnp.where(msk, sp.inv_radius,
-                                          sel["inv_radius"])
+            sp = port.sphere(i)
+            vals.update(cx=sp.cx, cy=sp.cy, cz=sp.cz,
+                        inv_radius=sp.inv_radius)
         if want_material:
             m = port.material(i)
-            sel["alb_r"] = jnp.where(msk, m.alb[0], sel["alb_r"])
-            sel["alb_g"] = jnp.where(msk, m.alb[1], sel["alb_g"])
-            sel["alb_b"] = jnp.where(msk, m.alb[2], sel["alb_b"])
-            sel["em_r"] = jnp.where(msk, m.em[0], sel["em_r"])
-            sel["em_g"] = jnp.where(msk, m.em[1], sel["em_g"])
-            sel["em_b"] = jnp.where(msk, m.em[2], sel["em_b"])
-            sel["roughness"] = jnp.where(msk, m.roughness, sel["roughness"])
-            sel["ri"] = jnp.where(msk, m.ri, sel["ri"])
-            # material-type masks merged with pure i1 logic -- Mosaic cannot
-            # lower jnp.where(mask, <static python bool>, bool_array)
-            # (i8->i1 trunci); m.mtype is static, so pick the branch here.
-            not_msk = ~msk
-            is_lam = is_lam & not_msk
-            is_met = is_met & not_msk
-            is_die = is_die & not_msk
+            vals.update(alb_r=m.alb[0], alb_g=m.alb[1], alb_b=m.alb[2],
+                        em_r=m.em[0], em_g=m.em[1], em_b=m.em[2],
+                        roughness=m.roughness, ri=m.ri)
             if m.mtype == 0:
-                is_lam = is_lam | msk
+                is_lam = is_lam | onehot
             elif m.mtype == 1:
-                is_met = is_met | msk
+                is_met = is_met | onehot
             else:
-                is_die = is_die | msk
+                is_die = is_die | onehot
+        for k, v in vals.items():
+            acc[k] = acc[k] + jnp.where(onehot, v, 0.0)
 
     if not want_material:
         none3 = (zero, zero, zero)
-        return HitResult(hit_t, hit_id,
-                         sel.get("cx", zero), sel.get("cy", zero),
-                         sel.get("cz", zero), sel.get("inv_radius", zero),
-                         none3, none3, zero, zero,
+        return HitResult(hit_t, hit_id, acc["cx"], acc["cy"], acc["cz"],
+                         acc["inv_radius"], none3, none3, zero, zero,
                          hit_id < -1, hit_id < -1, hit_id < -1)
+    gx = acc["cx"] if want_geometry else zero
+    gy = acc["cy"] if want_geometry else zero
+    gz = acc["cz"] if want_geometry else zero
+    gi = acc["inv_radius"] if want_geometry else zero
     return HitResult(
-        hit_t, hit_id, sel["cx"], sel["cy"], sel["cz"], sel["inv_radius"],
-        (sel["alb_r"], sel["alb_g"], sel["alb_b"]),
-        (sel["em_r"], sel["em_g"], sel["em_b"]),
-        sel["roughness"], sel["ri"], is_lam, is_met, is_die,
+        hit_t, hit_id, gx, gy, gz, gi,
+        (acc["alb_r"], acc["alb_g"], acc["alb_b"]),
+        (acc["em_r"], acc["em_g"], acc["em_b"]),
+        acc["roughness"], acc["ri"], is_lam, is_met, is_die,
     )
+
+
+def _sphere_t(sp: SphereData, ro, rd, t_min):
+    """Nearest valid root of one sphere's quadratic (Maths.cpp:97-117's
+    -b trick and earlier/later root selection).  Returns (t, valid)."""
+    cox = sp.cx - ro[0]
+    coy = sp.cy - ro[1]
+    coz = sp.cz - ro[2]
+    nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+    c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+    discr = nb * nb - c
+    discr_sq = safe_sqrt_pos(discr)
+    t0 = nb - discr_sq
+    t1 = nb + discr_sq
+    t = jnp.where(t0 > t_min, t0, t1)
+    return t, (discr > 0.0) & (t > t_min)
+
+
+def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
+    """NEE shadow test: is the nearest hit along `rd` the light sphere?
+
+    Equivalent to `hit_spheres(...).hit_id == light_id` (the reference's
+    test, ComputeShader.hlsl:222) but decomposed: the light's own hit
+    distance t_l comes from one quadratic, and occlusion is a boolean
+    any-closer reduction over the other spheres.  This drops the
+    running-argmin's serial select chain (t/id per sphere) for a freely
+    reassociable OR -- measurably cheaper in the Pallas bounce loop.
+    Semantics differ from the argmin only when another sphere's t equals
+    t_l EXACTLY in float (measure-zero; ties resolve as visible here,
+    by sphere order in the reference)."""
+    es = port.sphere(light_id)
+    t_l, l_valid = _sphere_t(es, ro, rd, t_min)
+    light_hit = l_valid & (t_l < t_max)
+
+    stacked = port.stacked()
+    if stacked is not None:
+        keys = ["cx", "cy", "cz", "sq_radius"]
+        xs = {k: stacked[k][:port.n] for k in keys}
+        xs["idx"] = jnp.arange(port.n, dtype=jnp.int32)
+        zero = ro[0] * 0.0
+
+        def body(occ, sp):
+            t, valid = _sphere_t(
+                SphereData(sp["cx"], sp["cy"], sp["cz"], sp["sq_radius"],
+                           zero, zero), ro, rd, t_min)
+            return occ | (valid & (t < t_l) & (sp["idx"] != light_id)), None
+
+        occluded, _ = jax.lax.scan(body, zero > 1.0, xs)
+        return light_hit & ~occluded
+
+    occluded = ro[0] * 0.0 > 1.0
+    for i in range(port.n):
+        if i == light_id:
+            continue
+        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min)
+        occluded = occluded | (valid & (t < t_l))
+    return light_hit & ~occluded
 
 
 def sky_color(rd, cfg: RenderConfig):
@@ -609,11 +661,15 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
                      scale3(sv, jnp.sin(phi) * sin_a)),
                 scale3(sw, cos_a),
             )
-            # shadow ray: full nearest-hit query, hit must be the light
-            # (id-only: the visibility test needs no geometry/material)
-            sh = hit_spheres(port, pos, l, cfg.min_t, cfg.max_t,
-                             want_material=False, want_geometry=False)
-            see = sh.hit_id == e
+            # shadow ray: nearest hit must be the light.  Standard ports
+            # use the cheap decomposed occlusion test; chunked (scaled)
+            # ports keep the full traversal their hit_chunks provides.
+            if hasattr(port, "hit_chunks"):
+                sh = hit_spheres(port, pos, l, cfg.min_t, cfg.max_t,
+                                 want_material=False, want_geometry=False)
+                see = sh.hit_id == e
+            else:
+                see = light_visible(port, pos, l, cfg.min_t, cfg.max_t, e)
             omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
             nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
             # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
@@ -922,25 +978,34 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     zero_i = (state0 & jnp.uint32(0)).astype(i32)
     zero_f = zero_i.astype(f32)
     zero3 = (zero_f, zero_f, zero_f)
-    # carry: ro rd col col_sum atten (vec3 each), state, raycnt,
-    #        alive_i do_me_i started depth (i32 -- Mosaic can't yield i1)
-    carry0 = (zero3, zero3, zero3, zero3, zero3, state0, zero_i,
-              zero_i, zero_i, zero_i, zero_i)
+    # Per-lane control state BIT-PACKED into one int32 -- bit 0: alive,
+    # bit 1: do_me, bits 2-9: bounce depth, bits 10-17: samples started.
+    # One carried vector instead of four: at a (24,256) tile each carried
+    # array costs 6 vector registers across the whole while loop, and
+    # spills are the measured bottleneck (the tile sweep shows a cliff,
+    # not a slope, past the register budget).  Pack/unpack is ~10 cheap
+    # int ops per iteration.  Masks/counters are exact either way, so
+    # pixel output is unchanged.
+    B_DEPTH, B_START = 2, 10
+    # carry: ro rd col col_sum atten (vec3 each), state, raycnt, lane_state
+    carry0 = (zero3, zero3, zero3, zero3, zero3, state0, zero_i, zero_i)
 
     max_iters = spp * cfg.max_depth  # exact per-lane upper bound
 
     def cond(dc):
         d, c = dc
-        alive_i, started = c[7], c[9]
-        has_work = jnp.max(alive_i + (started < spp).astype(i32)) > 0
+        ls = c[7]
+        started = ls >> B_START
+        has_work = jnp.max((ls & 1) + (started < spp).astype(i32)) > 0
         return (d < max_iters) & has_work
 
     def body(dc):
         d, c = dc
-        (ro, rd, col, col_sum, atten, state, raycnt,
-         alive_i, do_me_i, started, depth) = c
-        alive = alive_i != 0
-        do_me = do_me_i != 0
+        (ro, rd, col, col_sum, atten, state, raycnt, ls) = c
+        alive = (ls & 1) != 0
+        do_me = (ls & 2) != 0
+        depth = (ls >> B_DEPTH) & 0xFF
+        started = ls >> B_START
 
         # --- refill: dead lanes with samples remaining start a new ray
         needs = (~alive) & (started < spp)
@@ -976,9 +1041,9 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
             jnp.where(finished, col_sum[1] + col[1], col_sum[1]),
             jnp.where(finished, col_sum[2] + col[2], col_sum[2]),
         )
-        return d + 1, (ro, rd, col, col_sum, atten, state, raycnt,
-                       new_alive.astype(i32), do_me.astype(i32),
-                       started, depth)
+        ls = (new_alive.astype(i32) | (do_me.astype(i32) << 1)
+              | (depth << B_DEPTH) | (started << B_START))
+        return d + 1, (ro, rd, col, col_sum, atten, state, raycnt, ls)
 
     # Peel the first iteration: Mosaic infers *replicated* vector layouts
     # for the splat-zero carry inits and then cannot relayout the body's
