@@ -454,12 +454,17 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     #      the select-chain form (and to the scan variant above).
     shape = jnp.shape(ro[0])
     f32 = jnp.float32
-    hit_t = jnp.full(shape, t_max, f32)
-    hit_id = jnp.full(shape, -1, jnp.int32)
     zero = jnp.zeros(shape, f32)
 
+    # Flat running argmin of (t, id).  A grouped/tree variant was tried
+    # and measured ~5% SLOWER on v5e: the extra simultaneously-live group
+    # minima cost more in register pressure than the shorter dependency
+    # chain buys (register spills, not latency, are the binding
+    # constraint -- same finding as the tile-size cliff).
+    hit_t = jnp.full(shape, t_max, f32)
+    hit_id = jnp.full(shape, -1, jnp.int32)
     for i in range(port.n):
-        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min)
+        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min, safe=False)
         msk = valid & (t < hit_t)
         hit_t = jnp.where(msk, t, hit_t)
         hit_id = jnp.where(msk, i, hit_id)
@@ -515,16 +520,25 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     )
 
 
-def _sphere_t(sp: SphereData, ro, rd, t_min):
+def _sphere_t(sp: SphereData, ro, rd, t_min, safe: bool = True):
     """Nearest valid root of one sphere's quadratic (Maths.cpp:97-117's
-    -b trick and earlier/later root selection).  Returns (t, valid)."""
+    -b trick and earlier/later root selection).  Returns (t, valid).
+
+    safe=False uses sqrt(max(d, 0)) -- identical forward values, two ops
+    cheaper per sphere than the NaN-free-gradient form; valid only on
+    paths reverse-mode AD either never touches (the Pallas kernel) or
+    touches with symbolically-zero cotangents (boolean-only consumers
+    like light_visible)."""
     cox = sp.cx - ro[0]
     coy = sp.cy - ro[1]
     coz = sp.cz - ro[2]
     nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
     c = cox * cox + coy * coy + coz * coz - sp.sq_radius
     discr = nb * nb - c
-    discr_sq = safe_sqrt_pos(discr)
+    if safe:
+        discr_sq = safe_sqrt_pos(discr)
+    else:
+        discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
     t0 = nb - discr_sq
     t1 = nb + discr_sq
     t = jnp.where(t0 > t_min, t0, t1)
@@ -544,7 +558,7 @@ def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
     t_l EXACTLY in float (measure-zero; ties resolve as visible here,
     by sphere order in the reference)."""
     es = port.sphere(light_id)
-    t_l, l_valid = _sphere_t(es, ro, rd, t_min)
+    t_l, l_valid = _sphere_t(es, ro, rd, t_min, safe=False)
     light_hit = l_valid & (t_l < t_max)
 
     stacked = port.stacked()
@@ -557,7 +571,7 @@ def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
         def body(occ, sp):
             t, valid = _sphere_t(
                 SphereData(sp["cx"], sp["cy"], sp["cz"], sp["sq_radius"],
-                           zero, zero), ro, rd, t_min)
+                           zero, zero), ro, rd, t_min, safe=False)
             return occ | (valid & (t < t_l) & (sp["idx"] != light_id)), None
 
         occluded, _ = jax.lax.scan(body, zero > 1.0, xs)
@@ -567,7 +581,7 @@ def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
     for i in range(port.n):
         if i == light_id:
             continue
-        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min)
+        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min, safe=False)
         occluded = occluded | (valid & (t < t_l))
     return light_hit & ~occluded
 
