@@ -58,3 +58,26 @@ def test_cli_headless_render(tmp_path, capsys):
     assert os.path.exists(out)
     captured = capsys.readouterr().out
     assert "Mrays/s" in captured and "frames 2" in captured
+
+
+def test_cli_resume_matches_uninterrupted(tmp_path, capsys):
+    """--save-state/--resume: 2 frames + resume 2 more == 4 straight frames
+    (progressive accumulation is the checkpointable state, SURVEY.md #5)."""
+    from toypathtracer_tpu.cli import main
+    common = ["--width", "64", "--height", "8", "--spp", "1",
+              "--max-depth", "3", "--small", "--backend", "jnp"]
+    state = str(tmp_path / "state.npz")
+    a = str(tmp_path / "a.tga")
+    b = str(tmp_path / "b.tga")
+    c = str(tmp_path / "c.tga")
+
+    assert main(common + ["--frames", "2", "--save-state", state,
+                          "--output", a]) == 0
+    assert main(common + ["--frames", "2", "--resume", state,
+                          "--output", b]) == 0
+    assert "frames 4" in capsys.readouterr().out  # counter resumed at 3
+    assert main(common + ["--frames", "4", "--output", c]) == 0
+
+    resumed = np.fromfile(b, np.uint8)
+    straight = np.fromfile(c, np.uint8)
+    np.testing.assert_array_equal(resumed, straight)

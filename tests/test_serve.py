@@ -1,0 +1,102 @@
+"""Live-viewer frontend tests (toypathtracer_tpu/serve.py).
+
+Covers the interactive-frontend contract of the reference (SURVEY.md
+section 2.5): frames advance, the HUD is the shared format, flag toggles
+reset progressive accumulation (reference: TestWin.cpp:424-431), and the
+HTTP surface (page / frame.png / stats / set) serves what the reference's
+toypathtracer.html driver consumes."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+import toypathtracer_tpu as tpt
+from toypathtracer_tpu.config import FLAG_ANIMATE, FLAG_PROGRESSIVE
+from toypathtracer_tpu.serve import Viewer, make_handler
+
+TINY = tpt.RenderConfig(width=64, height=40, samples_per_pixel=1,
+                        max_depth=3)
+
+
+def make_viewer(**kw):
+    return Viewer(tpt.make_scene(big=False), TINY, **kw)
+
+
+def test_viewer_steps_and_png():
+    v = make_viewer()
+    v.step_once()
+    v.step_once()
+    png, hud = v.snapshot()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert int(np.asarray(v.sess.state.frame)) == 2
+    assert "Mrays/s" in hud and "frames 2" in hud
+
+
+def test_toggle_resets_accumulation():
+    v = make_viewer()
+    v.step_once()
+    v.step_once()
+    v.set_flags(animate=True, progressive=True)
+    v.step_once()  # applies the pending toggle, then renders frame 0
+    assert v.sess.flags == (FLAG_ANIMATE | FLAG_PROGRESSIVE)
+    assert int(np.asarray(v.sess.state.frame)) == 1  # reset, then one step
+    # no-op toggle (same flags) must NOT reset
+    v.set_flags(animate=True, progressive=True)
+    v.step_once()
+    assert int(np.asarray(v.sess.state.frame)) == 2
+
+
+def test_http_surface():
+    v = make_viewer()
+    v.step_once()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(v))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"toypathtracer_tpu" in page and b"/frame.png" in page
+
+        png = urllib.request.urlopen(base + "/frame.png", timeout=10).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        stats = json.loads(urllib.request.urlopen(
+            base + "/stats", timeout=10).read())
+        assert stats["frames"] == 1
+        assert stats["progressive"] is True and stats["animate"] is False
+        assert "Mrays/s" in stats["hud"]
+
+        urllib.request.urlopen(
+            base + "/set?animate=1&progressive=1", timeout=10).read()
+        v.step_once()  # render thread applies the toggle
+        stats = json.loads(urllib.request.urlopen(
+            base + "/stats", timeout=10).read())
+        assert stats["animate"] is True
+
+        err = urllib.request.urlopen(base + "/nope", timeout=10)
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=10)
+
+
+def test_png_roundtrip_matches_writer(tmp_path):
+    """png_bytes and write_png (stdlib path) produce identical files."""
+    from toypathtracer_tpu import io as image_io
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.0, 1.0, (7, 5, 3)).astype(np.float32)
+    data = image_io.png_bytes(img)
+    # decode with PIL if present to validate the stdlib encoder
+    try:
+        from PIL import Image
+        import io as _io
+        arr = np.asarray(Image.open(_io.BytesIO(data)))
+        assert arr.shape == (7, 5, 3)
+        np.testing.assert_array_equal(arr, image_io.to_u8(img))
+    except ImportError:
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"

@@ -88,6 +88,12 @@ def main(argv=None) -> int:
                     choices=["auto", "pallas", "jnp", "parity", "sharded"])
     ap.add_argument("--output", default="output.png",
                     help=".png or .tga (reference dumps output.tga)")
+    ap.add_argument("--resume", metavar="STATE.npz",
+                    help="resume progressive accumulation from a state saved "
+                         "with --save-state (the (accum, frame) tuple -- "
+                         "SURVEY.md section 5's checkpointable step state)")
+    ap.add_argument("--save-state", metavar="STATE.npz",
+                    help="write the final accumulation state for --resume")
     args = ap.parse_args(argv)
 
     _enable_compile_cache()
@@ -121,6 +127,14 @@ def main(argv=None) -> int:
     else:
         render_fn, backend_name = _pick_backend(args.backend)
     sess = RenderSession(scene, cfg, flags=flags, render_fn=render_fn)
+    frame0 = 0
+    if args.resume:
+        from .checkpoint import load_frame_state
+        sess.state = load_frame_state(args.resume)
+        frame0 = int(np.asarray(sess.state.frame))
+        if sess.state.accum.shape != (cfg.height, cfg.width, 3):
+            raise SystemExit(f"--resume state is {sess.state.accum.shape}, "
+                             f"render is {(cfg.height, cfg.width, 3)}")
 
     import jax
     print(f"backend={backend_name} device={jax.devices()[0].device_kind} "
@@ -130,7 +144,7 @@ def main(argv=None) -> int:
     from .profiling import hud_string
 
     img = None
-    for f in range(args.frames):
+    for f in range(frame0, frame0 + args.frames):
         t0 = time.perf_counter()
         img, raycount = sess.step(time=f / 60.0)
         # force completion via a host transfer (device sync)
@@ -139,6 +153,11 @@ def main(argv=None) -> int:
         # the reference HUD string (TestWin.cpp:330)
         print(hud_string("TPU path tracer", dt, rays, f + 1))
 
+    if args.save_state:
+        from .checkpoint import save_frame_state
+        save_frame_state(args.save_state, sess.state)
+        print(f"saved state {args.save_state} "
+              f"(frame {int(np.asarray(sess.state.frame))})")
     if args.output and img is not None:
         image_io.write_image(args.output, np.asarray(img))
         print(f"wrote {args.output}")

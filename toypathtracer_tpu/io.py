@@ -64,14 +64,37 @@ def write_tga(path: str, img: np.ndarray, cheap_srgb: bool = False) -> None:
         f.write(bgr.tobytes())
 
 
+def png_encode(u8: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder: 8-bit RGB, filter 0, one zlib IDAT.
+    Used for in-memory frames (the live viewer) and as the PIL-free
+    fallback of write_png."""
+    import zlib
+
+    h, w, _ = u8.shape
+    raw = b"".join(b"\x00" + u8[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def png_bytes(img: np.ndarray, cheap_srgb: bool = False) -> bytes:
+    """(H, W, 3) linear bottom-up float -> PNG file bytes."""
+    return png_encode(to_u8(img, cheap=cheap_srgb))
+
+
 def write_png(path: str, img: np.ndarray, cheap_srgb: bool = False) -> None:
-    """PNG via PIL (falls back to TGA next to it if PIL is unavailable)."""
+    """PNG via PIL when available, the stdlib encoder otherwise."""
     u8 = to_u8(img, cheap=cheap_srgb)
     try:
         from PIL import Image
-    except ImportError:  # minimal environments: degrade to TGA
-        write_tga(path.rsplit(".", 1)[0] + ".tga", img,
-                  cheap_srgb=cheap_srgb)
+    except ImportError:
+        with open(path, "wb") as f:
+            f.write(png_encode(u8))
         return
     Image.fromarray(u8).save(path)
 
