@@ -256,17 +256,24 @@ def random_in_unit_sphere_reject(state):
 class Samplers(NamedTuple):
     """Pluggable random-sampler set.  GPU = closed-form polar (fixed draw
     count, branch-free: the wavefront contract).  CPU = the reference CPU
-    core's rejection loops (parity path only)."""
+    core's rejection loops (parity path only).
+
+    exact_shadow selects the NEE occlusion test: True = root-based
+    comparisons that round exactly like the C++ reference (golden-parity
+    contract); False = the sqrt-free squared-comparison form (fast path;
+    algebraically identical, may differ when sqrt rounding crosses a
+    comparison boundary -- measure-zero, pure MC noise)."""
     in_unit_disk: callable
     in_unit_sphere: callable
     unit_vector: callable
+    exact_shadow: bool
 
 
 GPU_SAMPLERS = Samplers(random_in_unit_disk, random_in_unit_sphere,
-                        random_unit_vector)
+                        random_unit_vector, exact_shadow=False)
 CPU_SAMPLERS = Samplers(random_in_unit_disk_reject,
                         random_in_unit_sphere_reject,
-                        random_unit_vector)
+                        random_unit_vector, exact_shadow=True)
 
 
 # ---------------------------------------------------------------------------
@@ -545,7 +552,43 @@ def _sphere_t(sp: SphereData, ro, rd, t_min, safe: bool = True):
     return t, (discr > 0.0) & (t > t_min)
 
 
-def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
+def _sphere_occludes(sp: SphereData, ro, rd, t_min, t_l):
+    """Does this sphere intersect the ray strictly inside (t_min, t_l)?
+
+    Algebraically identical to `valid & (t < t_l)` with t from _sphere_t,
+    but with NO sqrt: each comparison against a root t = nb -+ sqrt(d) is
+    rewritten by squaring (sign-split so squaring preserves order).  With
+    s = sqrt(d), a = nb - t_min, b = nb - t_l:
+
+      t0-branch taken   <=>  t0 > t_min  <=>  s < a   <=>  a>0 & d < a^2
+      t0 < t_l          <=>  s > b       <=>  b<0 | d > b^2
+      t1 > t_min        <=>  s > -a      <=>  a>0 | d > a^2
+      t1 < t_l          <=>  s < -b      <=>  b<0 & d < b^2
+
+    This removes the ~1 sqrt per sphere per shadow ray of the root-based
+    test (the reference computes full roots, Maths.cpp:97-117; the
+    occlusion query only needs the boolean).  May differ from the root
+    form only when sqrt(d) rounding crosses a comparison boundary
+    (measure-zero); the golden-parity path keeps the exact form
+    (Samplers.exact_shadow)."""
+    cox = sp.cx - ro[0]
+    coy = sp.cy - ro[1]
+    coz = sp.cz - ro[2]
+    nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+    c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+    d = nb * nb - c
+    a = nb - t_min
+    b = nb - t_l
+    a2 = a * a
+    b2 = b * b
+    case1 = (a > 0.0) & (d < a2)
+    occ0 = (b < 0.0) | (b2 < d)
+    occ1 = ((a > 0.0) | (d > a2)) & (b < 0.0) & (d < b2)
+    return (d > 0.0) & ((case1 & occ0) | (~case1 & occ1))
+
+
+def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int,
+                  exact: bool = True):
     """NEE shadow test: is the nearest hit along `rd` the light sphere?
 
     Equivalent to `hit_spheres(...).hit_id == light_id` (the reference's
@@ -569,10 +612,14 @@ def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
         zero = ro[0] * 0.0
 
         def body(occ, sp):
-            t, valid = _sphere_t(
-                SphereData(sp["cx"], sp["cy"], sp["cz"], sp["sq_radius"],
-                           zero, zero), ro, rd, t_min, safe=False)
-            return occ | (valid & (t < t_l) & (sp["idx"] != light_id)), None
+            spd = SphereData(sp["cx"], sp["cy"], sp["cz"], sp["sq_radius"],
+                             zero, zero)
+            if exact:
+                t, valid = _sphere_t(spd, ro, rd, t_min, safe=False)
+                blocks = valid & (t < t_l)
+            else:
+                blocks = _sphere_occludes(spd, ro, rd, t_min, t_l)
+            return occ | (blocks & (sp["idx"] != light_id)), None
 
         occluded, _ = jax.lax.scan(body, zero > 1.0, xs)
         return light_hit & ~occluded
@@ -581,8 +628,12 @@ def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int):
     for i in range(port.n):
         if i == light_id:
             continue
-        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min, safe=False)
-        occluded = occluded | (valid & (t < t_l))
+        if exact:
+            t, valid = _sphere_t(port.sphere(i), ro, rd, t_min, safe=False)
+            blocks = valid & (t < t_l)
+        else:
+            blocks = _sphere_occludes(port.sphere(i), ro, rd, t_min, t_l)
+        occluded = occluded | blocks
     return light_hit & ~occluded
 
 
@@ -683,7 +734,8 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
                                  want_material=False, want_geometry=False)
                 see = sh.hit_id == e
             else:
-                see = light_visible(port, pos, l, cfg.min_t, cfg.max_t, e)
+                see = light_visible(port, pos, l, cfg.min_t, cfg.max_t, e,
+                                    exact=samplers.exact_shadow)
             omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
             nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
             # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
