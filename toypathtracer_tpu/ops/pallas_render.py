@@ -151,10 +151,27 @@ def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids,
         port = CachedScenePort(port)
     cam = camera_from_array_reader(lambda i: cam_ref[i])
 
-    col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0])
-    r_ref[:] = col[0]
-    g_ref[:] = col[1]
-    b_ref[:] = col[2]
+    # Sample accumulation lives in the output VMEM refs, not the bounce
+    # loop's carry: the flush hook trades 6 carried vector registers for 3
+    # VMEM read-modify-writes per iteration (spills are the measured
+    # bottleneck at the production tile size; accumulated values are
+    # bit-identical -- see render_pixels_fused).
+    zero_tile = jnp.zeros((tile_h, tile_w), jnp.float32)
+    r_ref[:] = zero_tile
+    g_ref[:] = zero_tile
+    b_ref[:] = zero_tile
+
+    def flush(finished, col):
+        r_ref[:] = r_ref[:] + jnp.where(finished, col[0], 0.0)
+        g_ref[:] = g_ref[:] + jnp.where(finished, col[1], 0.0)
+        b_ref[:] = b_ref[:] + jnp.where(finished, col[2], 0.0)
+
+    _, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
+                                 flush=flush)
+    inv_spp = jnp.float32(1.0 / cfg.samples_per_pixel)
+    r_ref[:] = r_ref[:] * inv_spp
+    g_ref[:] = g_ref[:] * inv_spp
+    b_ref[:] = b_ref[:] * inv_spp
     # Tile-padding correctness: pixels outside the logical sub-image (it
     # is padded up to tile multiples) are rendered but must not count
     # rays -- the HUD/Mray/s contract counts exactly the reference's rays

@@ -576,6 +576,12 @@ def _sphere_occludes(sp: SphereData, ro, rd, t_min, t_l):
     coz = sp.cz - ro[2]
     nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
     c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+    return _occ_test(nb, c, t_min, t_l)
+
+
+def _occ_test(nb, c, t_min, t_l):
+    """The sqrt-free root-comparison core of _sphere_occludes, on
+    precomputed nb = dot(co, dir) and c = dot(co, co) - r^2."""
     d = nb * nb - c
     a = nb - t_min
     b = nb - t_l
@@ -585,6 +591,65 @@ def _sphere_occludes(sp: SphereData, ro, rd, t_min, t_l):
     occ0 = (b < 0.0) | (b2 < d)
     occ1 = ((a > 0.0) | (d > a2)) & (b < 0.0) & (d < b2)
     return (d > 0.0) & ((case1 & occ0) | (~case1 & occ1))
+
+
+def lights_visible_fused(port: ScenePort, ro, dirs, light_ids, t_min, t_max):
+    """Fused NEE visibility for several shadow rays with a COMMON origin.
+
+    All shadow rays of one bounce leave the same hit point, so per sphere
+    the center offset `co` and `c = dot(co,co) - r^2` (9 ops) are shared
+    across lights; only nb and the sqrt-free root test (_occ_test) are
+    per-light.  With 2 emissives this cuts the shadow traversal from
+    2x(15+16) to 9+2x21 ops per sphere.  Boolean results are identical to
+    per-light light_visible(exact=False) -- same expressions, same values.
+
+    Returns [visible_k] for k in light_ids, where visible_k means the
+    nearest hit along dirs[k] is light k (the reference's NEE test,
+    ComputeShader.hlsl:222)."""
+    n_l = len(light_ids)
+    t_ls, light_hits = [], []
+    for lid, l in zip(light_ids, dirs):
+        t_l, valid = _sphere_t(port.sphere(lid), ro, l, t_min, safe=False)
+        t_ls.append(t_l)
+        light_hits.append(valid & (t_l < t_max))
+
+    false0 = ro[0] * 0.0 > 1.0
+    occs = [false0] * n_l
+    stacked = port.stacked()
+    if stacked is not None:
+        xs = {k: stacked[k][:port.n]
+              for k in ("cx", "cy", "cz", "sq_radius")}
+        xs["idx"] = jnp.arange(port.n, dtype=jnp.int32)
+
+        def body(occ, sp):
+            cox = sp["cx"] - ro[0]
+            coy = sp["cy"] - ro[1]
+            coz = sp["cz"] - ro[2]
+            c = cox * cox + coy * coy + coz * coz - sp["sq_radius"]
+            out = []
+            for k in range(n_l):
+                l = dirs[k]
+                nb = cox * l[0] + coy * l[1] + coz * l[2]
+                blocks = _occ_test(nb, c, t_min, t_ls[k])
+                out.append(occ[k] | (blocks & (sp["idx"] != light_ids[k])))
+            return tuple(out), None
+
+        occs, _ = jax.lax.scan(body, tuple(occs), xs)
+        occs = list(occs)
+    else:
+        for i in range(port.n):
+            sp = port.sphere(i)
+            cox = sp.cx - ro[0]
+            coy = sp.cy - ro[1]
+            coz = sp.cz - ro[2]
+            c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+            for k in range(n_l):
+                if i == light_ids[k]:
+                    continue
+                l = dirs[k]
+                nb = cox * l[0] + coy * l[1] + coz * l[2]
+                occs[k] = occs[k] | _occ_test(nb, c, t_min, t_ls[k])
+    return [lh & ~occ for lh, occ in zip(light_hits, occs)]
 
 
 def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int,
@@ -698,6 +763,10 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
     shadow_count = jnp.zeros(shape, jnp.int32)
 
     if cfg.do_light_sampling:
+        # Phase 1 -- per-light cone sample (reference: Test.cpp:94-121).
+        # RNG draw order is exactly the reference's single loop: 2 gated
+        # draws per light, in emissive_ids order.
+        cones = []
         for e in port.emissive_ids:
             es = port.sphere(e)
             em = port.material(e)
@@ -726,18 +795,32 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
                      scale3(sv, jnp.sin(phi) * sin_a)),
                 scale3(sw, cos_a),
             )
-            # shadow ray: nearest hit must be the light.  Standard ports
-            # use the cheap decomposed occlusion test; chunked (scaled)
-            # ports keep the full traversal their hit_chunks provides.
-            if hasattr(port, "hit_chunks"):
+            cones.append((e, em, lane_on, l, cos_a_max))
+
+        # Phase 2 -- visibility: the nearest hit along each shadow ray
+        # must be its light.  Fast path fuses all lights' occlusion
+        # traversals (shared shadow-ray origin); the golden-parity path
+        # keeps per-light root-based queries; chunked (scaled) ports keep
+        # the full traversal their hit_chunks provides.
+        if hasattr(port, "hit_chunks"):
+            sees = []
+            for e, _, _, l, _ in cones:
                 sh = hit_spheres(port, pos, l, cfg.min_t, cfg.max_t,
                                  want_material=False, want_geometry=False)
-                see = sh.hit_id == e
-            else:
-                see = light_visible(port, pos, l, cfg.min_t, cfg.max_t, e,
-                                    exact=samplers.exact_shadow)
+                sees.append(sh.hit_id == e)
+        elif samplers.exact_shadow:
+            sees = [light_visible(port, pos, l, cfg.min_t, cfg.max_t, e,
+                                  exact=True)
+                    for e, _, _, l, _ in cones]
+        else:
+            sees = lights_visible_fused(
+                port, pos, [c[3] for c in cones], [c[0] for c in cones],
+                cfg.min_t, cfg.max_t)
+
+        # Phase 3 -- contributions, in the reference's light order.
+        nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
+        for (e, em, lane_on, l, cos_a_max), see in zip(cones, sees):
             omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
-            nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
             # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
             # -- association as in Test.cpp:131 / hlsl:232.
             fac = jnp.maximum(0.0, dot3(l, nl)) * omega / jnp.float32(KPI)
@@ -1006,7 +1089,8 @@ def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
 
 
 def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
-                        frame, samplers: Samplers = GPU_SAMPLERS):
+                        frame, samplers: Samplers = GPU_SAMPLERS,
+                        flush=None):
     """Persistent-wavefront form: ONE while loop where a lane starts its
     next camera sample the moment its current ray terminates (miss, absorb,
     or depth cutoff).
@@ -1027,6 +1111,15 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     Termination semantics per sample match the GPU ports: a ray still
     alive after max_depth bounces contributes its accumulated color
     (ComputeShader.hlsl:300's loop bound; no tail sky/emission).
+
+    flush: optional `flush(finished_mask, col3)` callback invoked once per
+    iteration with each lane's just-completed sample color.  When given,
+    the per-pixel sum is NOT carried through the loop (the caller owns the
+    accumulator -- the Pallas kernel accumulates into its output VMEM refs,
+    trading 6 loop-carry vector registers for 3 VMEM read-modify-writes;
+    register spills are the measured bottleneck at the production tile
+    size) and the returned color is None.  Flush order/masks are identical
+    to the carried form, so accumulated values match bit-for-bit.
     """
     shape = jnp.shape(px)
     spp = cfg.samples_per_pixel
@@ -1053,21 +1146,28 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     # int ops per iteration.  Masks/counters are exact either way, so
     # pixel output is unchanged.
     B_DEPTH, B_START = 2, 10
-    # carry: ro rd col col_sum atten (vec3 each), state, raycnt, lane_state
-    carry0 = (zero3, zero3, zero3, zero3, zero3, state0, zero_i, zero_i)
+    # carry: ro rd col [col_sum] atten (vec3 each), state, raycnt, lane_state
+    # (col_sum is carried only when no flush callback owns the accumulator)
+    if flush is None:
+        carry0 = (zero3, zero3, zero3, zero3, zero3, state0, zero_i, zero_i)
+    else:
+        carry0 = (zero3, zero3, zero3, zero3, state0, zero_i, zero_i)
 
     max_iters = spp * cfg.max_depth  # exact per-lane upper bound
 
     def cond(dc):
         d, c = dc
-        ls = c[7]
+        ls = c[-1]
         started = ls >> B_START
         has_work = jnp.max((ls & 1) + (started < spp).astype(i32)) > 0
         return (d < max_iters) & has_work
 
     def body(dc):
         d, c = dc
-        (ro, rd, col, col_sum, atten, state, raycnt, ls) = c
+        if flush is None:
+            (ro, rd, col, col_sum, atten, state, raycnt, ls) = c
+        else:
+            (ro, rd, col, atten, state, raycnt, ls) = c
         alive = (ls & 1) != 0
         do_me = (ls & 2) != 0
         depth = (ls >> B_DEPTH) & 0xFF
@@ -1102,14 +1202,17 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
 
         # --- flush finished samples into the per-pixel sum
         finished = alive & ~new_alive
-        col_sum = (
-            jnp.where(finished, col_sum[0] + col[0], col_sum[0]),
-            jnp.where(finished, col_sum[1] + col[1], col_sum[1]),
-            jnp.where(finished, col_sum[2] + col[2], col_sum[2]),
-        )
         ls = (new_alive.astype(i32) | (do_me.astype(i32) << 1)
               | (depth << B_DEPTH) | (started << B_START))
-        return d + 1, (ro, rd, col, col_sum, atten, state, raycnt, ls)
+        if flush is None:
+            col_sum = (
+                jnp.where(finished, col_sum[0] + col[0], col_sum[0]),
+                jnp.where(finished, col_sum[1] + col[1], col_sum[1]),
+                jnp.where(finished, col_sum[2] + col[2], col_sum[2]),
+            )
+            return d + 1, (ro, rd, col, col_sum, atten, state, raycnt, ls)
+        flush(finished, col)
+        return d + 1, (ro, rd, col, atten, state, raycnt, ls)
 
     # Peel the first iteration: Mosaic infers *replicated* vector layouts
     # for the splat-zero carry inits and then cannot relayout the body's
@@ -1119,13 +1222,15 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     # semantically free -- the first iteration always has work (all lanes
     # start sample 0).
     _, carry = jax.lax.while_loop(cond, body, body((jnp.int32(0), carry0)))
-    col_sum, raycnt = carry[3], carry[6]
-    return scale3(col_sum, jnp.float32(1.0 / spp)), raycnt
+    if flush is None:
+        col_sum, raycnt = carry[3], carry[6]
+        return scale3(col_sum, jnp.float32(1.0 / spp)), raycnt
+    return None, carry[5]
 
 
 def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
                   differentiable: bool = False,
-                  samplers: Samplers = GPU_SAMPLERS):
+                  samplers: Samplers = GPU_SAMPLERS, flush=None):
     """Render a block of pixels: seed, spp camera samples, trace, average.
 
     px, py: integer pixel coordinate arrays (any shape); y=0 is the bottom
@@ -1138,8 +1243,9 @@ def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
     ~1e-3 (see render_pixels_fused docstring).
     """
     if differentiable:
+        assert flush is None, "flush is a forward-only (Pallas) hook"
         return render_pixels_lockstep(port, cfg, cam, px, py, frame,
                                       differentiable=True,
                                       samplers=samplers)
     return render_pixels_fused(port, cfg, cam, px, py, frame,
-                               samplers=samplers)
+                               samplers=samplers, flush=flush)
