@@ -54,6 +54,15 @@ class RenderConfig:
     tile_h: int = 16   # Pallas pixel-tile height
     tile_w: int = 128  # Pallas pixel-tile width
 
+    # Soft-silhouette gradient estimator (differentiable path only; the
+    # forward image is bit-identical regardless).  When > 0, the lockstep
+    # renderer blends hit/miss radiance with a straight-through sigmoid of
+    # the winning discriminant, sigma(d / eps), so reverse-mode AD carries
+    # the silhouette (visibility-boundary) term that hard selects drop --
+    # the north star's edge-aware gradients.  Units of eps: length^2 (the
+    # discriminant's); ~1e-2 x typical sphere radius^2 works well.
+    soft_silhouette_eps: float = 0.0
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

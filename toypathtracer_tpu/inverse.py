@@ -10,6 +10,25 @@ dielectric branch choice) use the straight-through gradient of the selected
 branch -- `jnp.where` routes cotangents only into the chosen values, and
 `ops.tracecore.safe_sqrt_pos` keeps masked-out lanes NaN-free.
 
+Visibility boundaries (the north star's "reparameterized/edge-aware
+gradients"): hard hit/miss selects drop the silhouette term of
+d(pixel)/d(geometry), which FD shows is the DOMINANT term for sphere
+centers/radii -- pathwise AD alone cannot recover geometry.  Setting
+`RenderConfig.soft_silhouette_eps > 0` enables the soft-silhouette
+estimator (tracecore.bounce_parts soft=True): a straight-through sigmoid
+of the winning ray-sphere discriminant blends hit vs sky radiance in the
+BACKWARD pass only (forward image bit-unchanged; asserted in
+tests/test_soft_silhouette.py), restoring a smooth surrogate of the
+boundary term.  One-sided (hit lanes only): a missed sphere's shading is
+not computed, so the miss side would wrongly blend toward black.
+Practical recipe for geometry recovery (tools/demo_inverse.py):
+soft_silhouette_eps ~ 1-2 pixel footprints of discriminant variation
+(0.05 at 192px-wide renders of this scene), `image_l2_tonemapped` so the
+~25x-brighter emissive pixels don't dominate, and `adam_eps` ~1e-3 so
+occluded spheres' noise-level gradients don't random-walk.  Single-view
+limits identifiability: fully/mostly occluded parameters stay at their
+priors -- expected, not a defect.
+
 Stochasticity: the per-pixel XorShift32 seed depends on the frame index
 (tracecore.seed_pixels), so stepping `frame` each iteration gives a fresh
 sample set -- Adam sees unbiased stochastic gradients of the expected
@@ -65,10 +84,25 @@ def image_l2(img, target):
     return jnp.mean(d * d)
 
 
-def render_loss(scene: Scene, target, cfg: RenderConfig, frame):
-    """Pixel-L2 of a differentiable single-frame render against `target`."""
+def image_l2_tonemapped(img, target):
+    """L2 on Reinhard-compressed radiance, x/(1+x).
+
+    The scene's emissives are ~20-30x brighter than everything else; raw
+    L2 lets a handful of light/reflection pixels (whose dependence on the
+    geometry is the discontinuous kind the estimator does not model)
+    dominate the objective.  Compression bounds any pixel's error at 1,
+    making the smooth shading/silhouette terms the signal."""
+    a = img / (1.0 + jnp.abs(img))
+    b = target / (1.0 + jnp.abs(target))
+    d = a - b
+    return jnp.mean(d * d)
+
+
+def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
+                loss_fn=image_l2):
+    """Pixel loss of a differentiable single-frame render against `target`."""
     img, _ = wavefront.render_frame(scene, cfg, frame, differentiable=True)
-    return image_l2(img, target)
+    return loss_fn(img, target)
 
 
 def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh):
@@ -125,14 +159,25 @@ class InverseRenderer:
     trainable: Tuple[str, ...] = ("center", "radius", "albedo", "emissive")
     learning_rate: float = 2e-2
     mesh: Optional[Mesh] = None
+    loss_fn: Callable = image_l2
+    clip_norm: Optional[float] = 1.0  # None disables gradient clipping
+    # Adam's denominator floor.  The default 1e-8 turns the near-zero,
+    # noise-dominated gradients of barely-visible spheres into unit-scale
+    # normalized steps (a pure random walk); a larger eps makes step size
+    # proportional to gradient magnitude below that scale, pinning
+    # unconstrained parameters in place.
+    adam_eps: float = 1e-8
 
     def __post_init__(self):
-        self.opt = optax.adam(self.learning_rate)
+        adam = optax.adam(self.learning_rate, eps=self.adam_eps)
+        self.opt = adam if self.clip_norm is None else optax.chain(
+            optax.clip_by_global_norm(self.clip_norm), adam)
         if self.mesh is not None:
             self._vg = make_sharded_value_and_grad(self.cfg, self.mesh)
         else:
             self._vg = jax.value_and_grad(
-                lambda s, t, f: render_loss(s, t, self.cfg, f))
+                lambda s, t, f: render_loss(s, t, self.cfg, f,
+                                            self.loss_fn))
         self._step = jax.jit(self._step_impl)
 
     def _step_impl(self, scene, opt_state, mask, frame):

@@ -35,12 +35,17 @@ dead lanes consume nothing.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..config import KPI, RenderConfig
+
+# Whole-tile material-branch skipping in the fused forward path (A/B
+# toggle for perf work on real hardware; values are identical either way).
+_SKIP_EMPTY = os.environ.get("TPT_SKIP_EMPTY", "1") != "0"
 
 # ---------------------------------------------------------------------------
 # vec3 helpers (component-wise: a vec3 is a tuple (x, y, z) of equal-shape
@@ -532,6 +537,56 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     )
 
 
+def silhouette_distance(port: ScenePort, ro, rd, t_min, hit_id):
+    """Signed silhouette proximity for the soft-visibility gradient
+    estimator: the ray-sphere discriminant d = nb^2 - c of the WINNING
+    sphere when the ray hits (d > 0, -> 0 at the silhouette), else the
+    max of d over in-front spheres (d < 0, -> 0 as the ray approaches a
+    silhouette).  Smooth in sphere centers/radii wherever the winner/
+    nearest-sphere identity is locally constant, which is what the
+    straight-through sigmoid surrogate needs (see bounce_parts(soft=True)).
+
+    Separate from hit_spheres on purpose: only the differentiable
+    (lockstep) path pays for it; the optimized forward kernel is untouched.
+    """
+    shape = jnp.shape(ro[0])
+    zero = ro[0] * 0.0
+    best_hit = zero          # one-hot d of the winner
+    best_miss = zero - 1e9   # running max d over in-front spheres
+
+    def accum(best_hit, best_miss, i, sp):
+        cox = sp["cx"] - ro[0] if isinstance(sp, dict) else sp.cx - ro[0]
+        coy = sp["cy"] - ro[1] if isinstance(sp, dict) else sp.cy - ro[1]
+        coz = sp["cz"] - ro[2] if isinstance(sp, dict) else sp.cz - ro[2]
+        sqr = sp["sq_radius"] if isinstance(sp, dict) else sp.sq_radius
+        nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+        c = cox * cox + coy * coy + coz * coz - sqr
+        d = nb * nb - c
+        sel = (hit_id == i).astype(jnp.float32)
+        best_hit = best_hit + sel * d
+        best_miss = jnp.where(nb > t_min, jnp.maximum(best_miss, d),
+                              best_miss)
+        return best_hit, best_miss
+
+    stacked = port.stacked()
+    if stacked is not None:
+        xs = {k: stacked[k][:port.n]
+              for k in ("cx", "cy", "cz", "sq_radius")}
+        xs["idx"] = jnp.arange(port.n, dtype=jnp.int32)
+
+        def body(carry, sp):
+            bh, bm = accum(carry[0], carry[1], sp["idx"], sp)
+            return (bh, bm), None
+
+        (best_hit, best_miss), _ = jax.lax.scan(
+            body, (best_hit, best_miss), xs)
+    else:
+        for i in range(port.n):
+            best_hit, best_miss = accum(best_hit, best_miss, i,
+                                        port.sphere(i))
+    return jnp.where(hit_id >= 0, best_hit, best_miss)
+
+
 def _sphere_t(sp: SphereData, ro, rd, t_min, safe: bool = True):
     """Nearest valid root of one sphere's quadratic (Maths.cpp:97-117's
     -b trick and earlier/later root selection).  Returns (t, valid).
@@ -844,10 +899,19 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
 
 
 def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
-                 samplers: Samplers = GPU_SAMPLERS):
+                 samplers: Samplers = GPU_SAMPLERS,
+                 skip_empty: bool = False, soft: bool = False):
     """One wavefront bounce over all lanes: intersect, scatter (all three
     materials masked, per-branch RNG threads), NEE.  Mirrors one iteration
     of the HLSL Trace loop (ComputeShader.hlsl:294-343).
+
+    skip_empty=True wraps each material branch in lax.cond on "any lane
+    runs this branch" -- in the Pallas kernel Mosaic lowers that to a real
+    scf.if, so e.g. a tile-tail iteration with no live Lambert lane skips
+    the whole NEE block.  Skip-branch placeholder values are never
+    selected (the per-lane masks that would read them are all false), so
+    merged outputs are identical; forward-only (lax.cond AD would visit
+    placeholders).
 
     Returns (new_carry, e, c): per-lane emission `e` and continuation
     attenuation `c` for this depth, defined so both accumulation orders are
@@ -874,35 +938,70 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     met_on = hit & res.is_metal
     die_on = hit & res.is_dielectric
 
+    def _any(mask):
+        # Mosaic-safe whole-tile reduction (jnp.any's i1 reduce is not
+        # guaranteed to legalize; max over i32 is).
+        return jnp.max(mask.astype(jnp.int32)) > 0
+
+    refl = reflect3(rd, normal)
+
     # --- Lambert branch (own RNG thread)
-    st_l, sdir_l, light_e, shadow_cnt = _scatter_lambert(
-        port, cfg, res.alb, pos, normal, rd, res.hit_id, lam_on, state,
-        samplers)
+    def _lam_run():
+        return _scatter_lambert(
+            port, cfg, res.alb, pos, normal, rd, res.hit_id, lam_on, state,
+            samplers)
+
+    if skip_empty:
+        def _lam_skip():
+            # placeholders derived from varying inputs: constants are
+            # "unvarying" under shard_map and cond then rejects the
+            # branches' differing output types
+            zero = rd[0] * 0.0
+            return (state, rd, (zero, zero, zero), zero.astype(jnp.int32))
+        st_l, sdir_l, light_e, shadow_cnt = jax.lax.cond(
+            _any(lam_on), _lam_run, _lam_skip)
+    else:
+        st_l, sdir_l, light_e, shadow_cnt = _lam_run()
     raycnt = raycnt + jnp.where(lam_on, shadow_cnt, 0)
 
     # --- Metal branch (reference: Test.cpp:137-150)
-    st_m, rius = samplers.in_unit_sphere(state)
-    refl = reflect3(rd, normal)
     rough = jnp.zeros_like(res.roughness) if cfg.do_mitsuba_compare \
         else res.roughness
-    sdir_m = normalize3(add3(refl, scale3(rius, rough)))
+
+    def _met_run():
+        st_m, rius = samplers.in_unit_sphere(state)
+        return st_m, normalize3(add3(refl, scale3(rius, rough)))
+
+    if skip_empty:
+        st_m, sdir_m = jax.lax.cond(_any(met_on), _met_run,
+                                    lambda: (state, refl))
+    else:
+        st_m, sdir_m = _met_run()
     met_ok = dot3(sdir_m, normal) > 0.0
 
     # --- Dielectric branch (reference: Test.cpp:151-186)
-    rdn = dot3(rd, normal)
-    entering = rdn <= 0.0
-    outward = sel3(entering, normal, neg3(normal))
-    safe_ri = jnp.where(res.ri == 0.0, 1.0, res.ri)  # guard /0 on non-dielectric lanes
-    nint = jnp.where(entering, 1.0 / safe_ri, res.ri)
-    cosine = jnp.where(entering, -rdn, res.ri * rdn)
-    dt = dot3(rd, outward)
-    discr = 1.0 - nint * nint * (1.0 - dt * dt)
-    refr = sub3(scale3(sub3(rd, scale3(outward, dt)), nint),
-                scale3(outward, safe_sqrt_pos(discr)))
-    refl_prob = jnp.where(discr > 0.0, schlick(cosine, res.ri),
-                          jnp.float32(1.0))
-    st_d, rr = rand01(state)
-    sdir_d = normalize3(sel3(rr < refl_prob, refl, refr))
+    def _die_run():
+        rdn = dot3(rd, normal)
+        entering = rdn <= 0.0
+        outward = sel3(entering, normal, neg3(normal))
+        # guard /0 on non-dielectric lanes
+        safe_ri = jnp.where(res.ri == 0.0, 1.0, res.ri)
+        nint = jnp.where(entering, 1.0 / safe_ri, res.ri)
+        cosine = jnp.where(entering, -rdn, res.ri * rdn)
+        dt = dot3(rd, outward)
+        discr = 1.0 - nint * nint * (1.0 - dt * dt)
+        refr = sub3(scale3(sub3(rd, scale3(outward, dt)), nint),
+                    scale3(outward, safe_sqrt_pos(discr)))
+        refl_prob = jnp.where(discr > 0.0, schlick(cosine, res.ri),
+                              jnp.float32(1.0))
+        st_d, rr = rand01(state)
+        return st_d, normalize3(sel3(rr < refl_prob, refl, refr))
+
+    if skip_empty:
+        st_d, sdir_d = jax.lax.cond(_any(die_on), _die_run,
+                                    lambda: (state, refl))
+    else:
+        st_d, sdir_d = _die_run()
 
     # --- merge branches per lane
     new_state = jnp.where(lam_on, st_l,
@@ -933,13 +1032,50 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     zero3 = splat3(shape, (0.0, 0.0, 0.0))
     one = jnp.ones(shape, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
-    # e: scattered -> gated_matE + lightE; absorbed -> ungated matE;
-    #    miss -> sky; dead -> 0
-    e = sel3(scat, add3(gated_e, light_e),
-             sel3(died, mat_e, sel3(no_hit, sky, zero3)))
-    # c: scattered -> attenuation; terminal (died/miss) -> 0; dead -> 1
-    c = sel3(scat, attenuation,
-             sel3(died | no_hit, (zero, zero, zero), (one, one, one)))
+    if soft and cfg.soft_silhouette_eps > 0.0:
+        # Soft-silhouette gradient estimator (north star: edge-aware
+        # gradients).  Hard hit/miss selects drop the visibility-boundary
+        # term of d(pixel)/d(scene) -- the dominant term for sphere
+        # centers/radii (FD shows it; pathwise AD misses it because the
+        # integrand is discontinuous).  Surrogate: blend hit vs miss
+        # radiance with a straight-through sigmoid of the winning
+        # discriminant.  FORWARD values are exactly the hard select
+        # (w == 1.0/0.0 exactly via stop_gradient(hard - soft) + soft);
+        # BACKWARD gets  d sigma(d_sil/eps) * (e_hit - sky), the smooth
+        # boundary surrogate.
+        d_sil = silhouette_distance(port, ro, rd, cfg.min_t, res.hit_id)
+        w_soft = jax.nn.sigmoid(d_sil / jnp.float32(cfg.soft_silhouette_eps))
+        w_hard = (res.hit_id >= 0).astype(jnp.float32)
+        # One-sided: soften only HIT lanes.  Miss lanes' gathered
+        # attributes are all zero (hit_id == -1), so a two-sided blend
+        # would claim the surface behind the silhouette is black --
+        # wrong-signed gradients for bright spheres (measured).  Gating
+        # the soft term by stop_grad(w_hard) keeps the hit-side boundary
+        # derivative (hit -> miss transition, real e_hit vs sky) and
+        # zeroes the miss side; direction is correct everywhere at half
+        # the boundary measure.
+        w_soft = w_soft * jax.lax.stop_gradient(w_hard)
+        w = jax.lax.stop_gradient(w_hard - w_soft) + w_soft
+        # within-hit cases stay hard (scatter/absorb identity is not a
+        # silhouette); only the hit<->miss boundary is softened
+        e_hit = sel3(scatter_ok, add3(gated_e, light_e), mat_e)
+        c_hit = sel3(scatter_ok, attenuation, zero3)
+        e_soft = (
+            w * e_hit[0] + (1.0 - w) * sky[0],
+            w * e_hit[1] + (1.0 - w) * sky[1],
+            w * e_hit[2] + (1.0 - w) * sky[2],
+        )
+        c_soft = (w * c_hit[0], w * c_hit[1], w * c_hit[2])
+        e = sel3(alive, e_soft, zero3)
+        c = sel3(alive, c_soft, (one, one, one))
+    else:
+        # e: scattered -> gated_matE + lightE; absorbed -> ungated matE;
+        #    miss -> sky; dead -> 0
+        e = sel3(scat, add3(gated_e, light_e),
+                 sel3(died, mat_e, sel3(no_hit, sky, zero3)))
+        # c: scattered -> attenuation; terminal (died/miss) -> 0; dead -> 1
+        c = sel3(scat, attenuation,
+                 sel3(died | no_hit, (zero, zero, zero), (one, one, one)))
 
     ro = sel3(scat, pos, ro)
     rd = sel3(scat, new_dir, rd)
@@ -950,12 +1086,12 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
 
 
 def bounce_step(port: ScenePort, cfg: RenderConfig, carry,
-                samplers: Samplers = GPU_SAMPLERS):
+                samplers: Samplers = GPU_SAMPLERS, soft: bool = False):
     """GPU-form bounce with downward accumulation: col += atten*e;
     atten *= c (exactly hlsl:318-319's float association)."""
     ro, rd, col, atten, alive, do_me, state, raycnt = carry
     sub, e, c = bounce_parts(port, cfg, (ro, rd, alive, do_me, state, raycnt),
-                             samplers)
+                             samplers, soft=soft)
     ro, rd, alive, do_me, state, raycnt = sub
     col = add3(col, mul3(atten, e))
     atten = mul3(atten, c)
@@ -1008,7 +1144,9 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
     if differentiable:
         carry = jax.lax.fori_loop(
             0, cfg.max_depth,
-            lambda _, c: bounce_step(port, cfg, c, samplers), carry)
+            lambda _, c: bounce_step(port, cfg, c, samplers,
+                                     soft=cfg.soft_silhouette_eps > 0.0),
+            carry)
         ro, rd, col, atten, alive, do_me, state, raycnt = carry
     else:
         # Mask vectors cross the while-loop boundary as int32: Mosaic cannot
@@ -1195,10 +1333,11 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         started = started + needs.astype(i32)
         alive = alive | needs
 
-        # --- one bounce for every live lane
+        # --- one bounce for every live lane (whole-tile branch skipping:
+        # forward-only path, placeholder values never selected)
         sub, e, cc = bounce_parts(port, cfg,
                                   (ro, rd, alive, do_me, state, raycnt),
-                                  samplers)
+                                  samplers, skip_empty=_SKIP_EMPTY)
         ro, rd, new_alive, do_me, state, raycnt = sub
         col = add3(col, mul3(atten, e))
         atten = mul3(atten, cc)
