@@ -166,3 +166,32 @@ def test_gpu_vs_cpu_semantics_converge(big_scene):
     ab = ta.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
     bb = tb.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
     assert np.abs(ab - bb).mean() < 0.03, np.abs(ab - bb).mean()
+
+
+def test_branch_skip_matches_straight_line(big_scene):
+    """Whole-tile branch skipping (lax.cond on any-lane masks) must not
+    change results: skip placeholders are never selected.  Exercises the
+    cond path explicitly since the production default is off
+    (TPT_SKIP_EMPTY; see tracecore._SKIP_EMPTY).  Colors compare at tight
+    tolerance, not bitwise: XLA fuses/FMA-contracts the branch body
+    differently inside a cond region (measured ~6e-6 rel); ray counts are
+    integer decisions and must match exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from toypathtracer_tpu.camera import make_camera
+    from toypathtracer_tpu.ops import tracecore as tc
+    from toypathtracer_tpu.render.wavefront import ArrayScenePort
+
+    cfg = RenderConfig(width=48, height=16, samples_per_pixel=2, max_depth=4)
+    port = ArrayScenePort(big_scene)
+    cam = make_camera(big_scene.camera, cfg.width / cfg.height)
+    yy, xx = jnp.meshgrid(jnp.arange(cfg.height), jnp.arange(cfg.width),
+                          indexing="ij")
+    a_col, a_cnt = tc.render_pixels_fused(port, cfg, cam, xx, yy,
+                                          jnp.int32(2), skip_empty=False)
+    b_col, b_cnt = tc.render_pixels_fused(port, cfg, cam, xx, yy,
+                                          jnp.int32(2), skip_empty=True)
+    np.testing.assert_array_equal(np.asarray(a_cnt), np.asarray(b_cnt))
+    for a, b in zip(a_col, b_col):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

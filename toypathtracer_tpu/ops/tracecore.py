@@ -43,9 +43,13 @@ import jax.numpy as jnp
 
 from ..config import KPI, RenderConfig
 
-# Whole-tile material-branch skipping in the fused forward path (A/B
-# toggle for perf work on real hardware; values are identical either way).
-_SKIP_EMPTY = os.environ.get("TPT_SKIP_EMPTY", "1") != "0"
+# Whole-tile material-branch skipping in the fused forward path (values
+# identical either way).  Default OFF: on the reference scene the three
+# any-lane reductions + scf.if overhead per iteration cost ~6% (measured
+# v5e A/B, 199.2 vs 187.6 Mray/s) -- nearly every iteration has a live
+# Lambert lane, so the big (NEE) skip almost never fires.  Worth enabling
+# for scenes where whole material classes are rare per tile.
+_SKIP_EMPTY = os.environ.get("TPT_SKIP_EMPTY", "0") != "0"
 
 # ---------------------------------------------------------------------------
 # vec3 helpers (component-wise: a vec3 is a tuple (x, y, z) of equal-shape
@@ -1233,7 +1237,7 @@ def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
 
 def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
                         frame, samplers: Samplers = GPU_SAMPLERS,
-                        flush=None):
+                        flush=None, skip_empty: bool = None):
     """Persistent-wavefront form: ONE while loop where a lane starts its
     next camera sample the moment its current ray terminates (miss, absorb,
     or depth cutoff).
@@ -1264,6 +1268,8 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     size) and the returned color is None.  Flush order/masks are identical
     to the carried form, so accumulated values match bit-for-bit.
     """
+    if skip_empty is None:
+        skip_empty = _SKIP_EMPTY
     shape = jnp.shape(px)
     spp = cfg.samples_per_pixel
     f32 = jnp.float32
@@ -1337,7 +1343,7 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         # forward-only path, placeholder values never selected)
         sub, e, cc = bounce_parts(port, cfg,
                                   (ro, rd, alive, do_me, state, raycnt),
-                                  samplers, skip_empty=_SKIP_EMPTY)
+                                  samplers, skip_empty=skip_empty)
         ro, rd, new_alive, do_me, state, raycnt = sub
         col = add3(col, mul3(atten, e))
         atten = mul3(atten, cc)
