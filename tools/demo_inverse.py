@@ -6,12 +6,16 @@ with the TRUE scene, then recovers the perturbed parameters by Adam on
 pixel L2 through the differentiable wavefront renderer.  Writes
 target/initial/recovered PNGs and prints a JSON result line.
 
-Geometry recovery needs the soft-silhouette estimator (--soft-eps, on by
-default; see inverse.py docstring for the recipe) -- with hard selects
-d(loss)/d(center) lacks the silhouette term and optimization diverges
-(measured).  Albedo-only recovery (--trainable albedo) converges to
-machine precision either way.  Single-view identifiability bounds what
---trainable center can do on occluded spheres.
+Default mode recovers perturbed albedo (converges to ~machine-precision
+loss).  Geometry mode:
+
+    python tools/demo_inverse.py --trainable center,albedo \
+        --center-jitter 0.02 --lr 2e-3
+
+needs the soft-silhouette estimator (--soft-eps, on by default; recipe in
+inverse.py docstring) -- with hard selects d(loss)/d(center) lacks the
+silhouette term and optimization diverges (measured).  Single-view
+identifiability bounds what geometry mode can do on occluded spheres.
 
 Usage: python tools/demo_inverse.py [--steps 200] [--width 192 --height 108]
                                     [--outdir build/inverse_demo]
@@ -35,18 +39,19 @@ def main():
     ap.add_argument("--height", type=int, default=108)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--outdir", default="build/inverse_demo")
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--trainable", default="center,albedo",
+    ap.add_argument("--trainable", default="albedo",
                     help="comma list of scene fields to optimize")
-    ap.add_argument("--center-jitter", type=float, default=0.08)
+    ap.add_argument("--center-jitter", type=float, default=0.0)
     ap.add_argument("--albedo-jitter", type=float, default=0.15)
     ap.add_argument("--soft-eps", type=float, default=0.05,
                     help="soft-silhouette eps (0 disables; see RenderConfig)")
     ap.add_argument("--tonemap-loss", action="store_true",
-                    help="L2 on Reinhard-compressed radiance (downweights "
-                         "the ~25x-brighter emissive pixels)")
+                    help="L2 on Reinhard-compressed radiance; use in geometry "
+                         "mode so the ~25x-brighter emissive pixels (whose "
+                         "silhouettes are unmodeled) do not dominate")
     args = ap.parse_args()
 
     import jax
