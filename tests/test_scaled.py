@@ -61,3 +61,35 @@ def test_chunked_port_shadow_query():
     rd = (jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape))  # straight up
     res = port.hit_chunks(ro, rd, 0.001, 1e7, want_material=False)
     assert res.hit_id.shape == shape
+
+
+def test_fused_lights_visible_matches_per_light_hit():
+    """The one-scan fused shadow query must agree with per-light full
+    traversal (`hit_chunks(...).hit_id == light`) -- equivalent except on
+    exact float ties at the light distance (none in a random scene)."""
+    import jax.numpy as jnp
+    from toypathtracer_tpu.scaled import ChunkedScenePort, make_scaled_scene
+
+    scene = make_scaled_scene(n=800, chunk=64, extent=30.0)
+    port = ChunkedScenePort(scene)
+    rng = np.random.default_rng(3)
+    n = 512
+    ro = tuple(jnp.asarray(rng.uniform(-25, 25, n), jnp.float32)
+               for _ in range(3))
+    lights = list(scene.emissive_ids)[:4]
+    t_min, t_max = 1e-3, 1e7
+
+    dirs = []
+    for e in lights:
+        sp = port.sphere(e)
+        d = (sp.cx - ro[0] + rng.normal(0, 2, n).astype(np.float32),
+             sp.cy - ro[1] + rng.normal(0, 2, n).astype(np.float32),
+             sp.cz - ro[2] + rng.normal(0, 2, n).astype(np.float32))
+        norm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        dirs.append(tuple(x / norm for x in d))
+
+    fused = port.lights_visible(ro, dirs, lights, t_min, t_max)
+    for e, l, got in zip(lights, dirs, fused):
+        ref = port.hit_chunks(ro, l, t_min, t_max,
+                              want_material=False).hit_id == e
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -866,7 +866,12 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
         # traversals (shared shadow-ray origin); the golden-parity path
         # keeps per-light root-based queries; chunked (scaled) ports keep
         # the full traversal their hit_chunks provides.
-        if hasattr(port, "hit_chunks"):
+        port_lv = getattr(port, "lights_visible", None)
+        if port_lv is not None:
+            # chunked (scaled) ports: ONE fused chunk scan for all lights
+            sees = port_lv(pos, [c[3] for c in cones],
+                           [c[0] for c in cones], cfg.min_t, cfg.max_t)
+        elif hasattr(port, "hit_chunks"):
             sees = []
             for e, _, _, l, _ in cones:
                 sh = hit_spheres(port, pos, l, cfg.min_t, cfg.max_t,

@@ -205,56 +205,124 @@ class ChunkedScenePort(tc.ScenePort):
             roughness=s.roughness[i], ri=s.ri[i],
         )
 
-    def hit_chunks(self, ro, rd, t_min, t_max, want_material=True):
-        """Nearest hit over all chunks: lax.scan over the chunk axis; each
-        step slab-tests the chunk AABB and runs the detailed per-sphere
-        running argmin only masked by (aabb_hit & t_entry < best_t)."""
+    def lights_visible(self, ro, dirs, light_ids, t_min, t_max):
+        """Fused NEE visibility for all shadow rays of one bounce, in ONE
+        chunk scan.
+
+        The per-light formulation (one full hit_chunks per light) streams
+        the 20-array hit carry through HBM once per light per bounce -- 8
+        lights made the shadow pass 8x the primary's traffic and dominated
+        the scaled render.  Shadow rays share their origin, so per chunk
+        the (K, lanes) center-offset geometry is computed once and each
+        light adds only a direction dot + sqrt-free root test (tracecore
+        _occ_test) reduced to one boolean per lane; the scan carry is
+        n_lights booleans instead of n_lights full hit results.
+
+        Result semantics: nearest-hit-is-the-light, as the reference's NEE
+        test (ComputeShader.hlsl:222); differs from the argmin form only
+        on exact float ties at the light distance (measure-zero), like the
+        small-scene fast path (tracecore.light_visible exact=False)."""
         s = self._s
         C, K = s.chunk_aabb.shape[0], s.chunk
-        shape = jnp.shape(ro[0])
+        n_l = len(light_ids)
         zero = ro[0] * 0.0
-        false_init = zero > 1.0
 
-        inv_d = tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                                      jnp.where(d >= 0, 1e-12, -1e-12), d)
-                      for d in rd)
+        t_ls, light_hits = [], []
+        for lid, l in zip(light_ids, dirs):
+            t_l, valid = tc._sphere_t(self.sphere(lid), ro, l, t_min,
+                                      safe=False)
+            t_ls.append(t_l)
+            light_hits.append(valid & (t_l < t_max))
 
-        carry = dict(
-            hit_t=zero + t_max,
-            hit_id=zero.astype(jnp.int32) - 1,
-            cx=zero, cy=zero, cz=zero, inv_radius=zero,
-        )
-        if want_material:
-            carry.update(alb_r=zero, alb_g=zero, alb_b=zero,
-                         em_r=zero, em_g=zero, em_b=zero,
-                         roughness=zero, ri=zero,
-                         is_lam=false_init, is_met=false_init,
-                         is_die=false_init)
+        inv_ds = [tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                        jnp.where(d >= 0, 1e-12, -1e-12), d)
+                        for d in l) for l in dirs]
 
         xs = dict(
             cx=s.center[:, 0].reshape(C, K),
             cy=s.center[:, 1].reshape(C, K),
             cz=s.center[:, 2].reshape(C, K),
             sqr=self._sq_radius.reshape(C, K),
-            invr=self._inv_radius.reshape(C, K),
             aabb=s.chunk_aabb,
             base=jnp.arange(C, dtype=jnp.int32) * K,
         )
-        if want_material:
-            xs.update(
-                alb=s.albedo.reshape(C, K, 3),
-                em=s.emissive.reshape(C, K, 3),
-                rough=s.roughness.reshape(C, K),
-                ri=s.ri.reshape(C, K),
-                lam=s.mat_is_lam.reshape(C, K),
-                met=s.mat_is_met.reshape(C, K),
-                die=s.mat_is_die.reshape(C, K),
-            )
+        lane_nd = ro[0].ndim
+        ksl = (slice(None),) + (None,) * lane_nd
+
+        def step(occs, ch):
+            lives = []
+            for k in range(n_l):
+                t0 = zero + t_min
+                t1 = t_ls[k]
+                for a in range(3):
+                    lo = (ch["aabb"][a] - ro[a]) * inv_ds[k][a]
+                    hi = (ch["aabb"][3 + a] - ro[a]) * inv_ds[k][a]
+                    t0 = jnp.maximum(t0, jnp.minimum(lo, hi))
+                    t1 = jnp.minimum(t1, jnp.maximum(lo, hi))
+                # already-occluded lanes need no more work for this light
+                lives.append((t0 <= t1) & ~occs[k])
+
+            def detail(occs):
+                cox = ch["cx"][ksl] - ro[0]
+                coy = ch["cy"][ksl] - ro[1]
+                coz = ch["cz"][ksl] - ro[2]
+                cq = cox * cox + coy * coy + coz * coz - ch["sqr"][ksl]
+                idx = ch["base"] + jnp.arange(K, dtype=jnp.int32)
+                out = []
+                for k in range(n_l):
+                    l = dirs[k]
+                    nb = cox * l[0] + coy * l[1] + coz * l[2]
+                    blk = tc._occ_test(nb, cq, t_min, t_ls[k])
+                    not_light = (idx != light_ids[k])[ksl]
+                    any_blk = jnp.any(blk & not_light, axis=0)
+                    out.append(occs[k] | (lives[k] & any_blk))
+                return tuple(out)
+
+            any_live = jnp.zeros((), bool)
+            for lv in lives:
+                any_live = any_live | jnp.any(lv)
+            occs = jax.lax.cond(any_live, detail, lambda o: o, occs)
+            return occs, None
+
+        occs0 = tuple(zero > 1.0 for _ in range(n_l))
+        occs, _ = jax.lax.scan(step, occs0, xs)
+        return [h & ~o for h, o in zip(light_hits, occs)]
+
+    def hit_chunks(self, ro, rd, t_min, t_max, want_material=True):
+        """Nearest hit over all chunks: lax.scan over the chunk axis; each
+        step slab-tests the chunk AABB and runs the detailed per-sphere
+        running argmin only masked by (aabb_hit & t_entry < best_t).
+
+        The scan carries ONLY (hit_t, hit_id): every chunk step streams
+        the whole carry through HBM, so carrying the winner's 18
+        attributes multiplied traversal traffic ~10x.  Attributes are
+        fetched AFTER the scan with one per-lane `take(hit_id)` gather
+        per attribute (XLA:TPU lowers per-lane gathers fine; it is the
+        Pallas kernel that cannot -- this is the jnp path)."""
+        s = self._s
+        C, K = s.chunk_aabb.shape[0], s.chunk
+        zero = ro[0] * 0.0
+
+        inv_d = tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                      jnp.where(d >= 0, 1e-12, -1e-12), d)
+                      for d in rd)
+
+        carry = (zero + t_max, zero.astype(jnp.int32) - 1)
+
+        xs = dict(
+            cx=s.center[:, 0].reshape(C, K),
+            cy=s.center[:, 1].reshape(C, K),
+            cz=s.center[:, 2].reshape(C, K),
+            sqr=self._sq_radius.reshape(C, K),
+            aabb=s.chunk_aabb,
+            base=jnp.arange(C, dtype=jnp.int32) * K,
+        )
 
         def step(carry, ch):
+            hit_t, hit_id = carry
             # slab test (branchless): entry/exit of the chunk AABB
             t0 = zero + t_min
-            t1 = carry["hit_t"]
+            t1 = hit_t
             for a in range(3):
                 lo = (ch["aabb"][a] - ro[a]) * inv_d[a]
                 hi = (ch["aabb"][3 + a] - ro[a]) * inv_d[a]
@@ -263,13 +331,13 @@ class ChunkedScenePort(tc.ScenePort):
             live = t0 <= t1  # chunk can still contain a closer hit
 
             def detail(carry):
+                hit_t, hit_id = carry
                 # Vectorized over the chunk's sphere axis: (K, *lanes)
-                # intersection, per-lane argmin, then (K,)->lane gathers
-                # of the winner's attributes.  Equivalent to the
+                # intersection, per-lane argmin.  Equivalent to the
                 # sequential strictly-closer-replaces argmin: jnp.argmin
                 # returns the FIRST minimum, matching "later spheres win
                 # only when strictly closer" within a chunk, and the
-                # cross-chunk merge below keeps strict <.
+                # cross-chunk merge keeps strict <.
                 lane_nd = ro[0].ndim
                 ksl = (slice(None),) + (None,) * lane_nd
 
@@ -287,36 +355,9 @@ class ChunkedScenePort(tc.ScenePort):
                 t = jnp.where(valid, t, jnp.inf)
                 k = jnp.argmin(t, axis=0)
                 t_best = jnp.min(t, axis=0)
-                msk = live & (t_best < carry["hit_t"])
-
-                out = dict(carry)
-                out["hit_t"] = jnp.where(msk, t_best, carry["hit_t"])
-                out["hit_id"] = jnp.where(msk, ch["base"] + k,
-                                          carry["hit_id"])
-                out["cx"] = jnp.where(msk, ch["cx"][k], carry["cx"])
-                out["cy"] = jnp.where(msk, ch["cy"][k], carry["cy"])
-                out["cz"] = jnp.where(msk, ch["cz"][k], carry["cz"])
-                out["inv_radius"] = jnp.where(msk, ch["invr"][k],
-                                              carry["inv_radius"])
-                if want_material:
-                    for c3, key in ((0, "alb_r"), (1, "alb_g"),
-                                    (2, "alb_b")):
-                        out[key] = jnp.where(msk, ch["alb"][k, c3],
-                                             carry[key])
-                    for c3, key in ((0, "em_r"), (1, "em_g"), (2, "em_b")):
-                        out[key] = jnp.where(msk, ch["em"][k, c3],
-                                             carry[key])
-                    out["roughness"] = jnp.where(msk, ch["rough"][k],
-                                                 carry["roughness"])
-                    out["ri"] = jnp.where(msk, ch["ri"][k], carry["ri"])
-                    nm = ~msk
-                    out["is_lam"] = (carry["is_lam"] & nm) | \
-                        (msk & ch["lam"][k])
-                    out["is_met"] = (carry["is_met"] & nm) | \
-                        (msk & ch["met"][k])
-                    out["is_die"] = (carry["is_die"] & nm) | \
-                        (msk & ch["die"][k])
-                return out
+                msk = live & (t_best < hit_t)
+                return (jnp.where(msk, t_best, hit_t),
+                        jnp.where(msk, ch["base"] + k, hit_id))
 
             # whole-batch skip: if NO lane's ray touches this chunk, skip
             # the detailed test entirely (packet-culling; cheap because
@@ -324,22 +365,34 @@ class ChunkedScenePort(tc.ScenePort):
             carry = jax.lax.cond(jnp.any(live), detail, lambda c: c, carry)
             return carry, None
 
-        carry, _ = jax.lax.scan(step, carry, xs)
+        (hit_t, hit_id), _ = jax.lax.scan(step, carry, xs)
 
+        # deferred winner-attribute fetch: one gather per attribute over
+        # the flat arrays; misses (id -1) read index 0 and are masked by
+        # every consumer (hit_id >= 0 gates all uses in bounce_parts)
+        idx = jnp.maximum(hit_id, 0)
+        hit = hit_id >= 0
+        gx = jnp.where(hit, s.center[idx, 0], zero)
+        gy = jnp.where(hit, s.center[idx, 1], zero)
+        gz = jnp.where(hit, s.center[idx, 2], zero)
+        gi = jnp.where(hit, self._inv_radius[idx], zero)
         if not want_material:
             none3 = (zero, zero, zero)
-            f = carry["hit_id"] < -1
-            return tc.HitResult(carry["hit_t"], carry["hit_id"],
-                                carry["cx"], carry["cy"], carry["cz"],
-                                carry["inv_radius"], none3, none3, zero,
-                                zero, f, f, f)
+            f = hit_id < -1
+            return tc.HitResult(hit_t, hit_id, gx, gy, gz, gi,
+                                none3, none3, zero, zero, f, f, f)
+        no_hit = ~hit
         return tc.HitResult(
-            carry["hit_t"], carry["hit_id"], carry["cx"], carry["cy"],
-            carry["cz"], carry["inv_radius"],
-            (carry["alb_r"], carry["alb_g"], carry["alb_b"]),
-            (carry["em_r"], carry["em_g"], carry["em_b"]),
-            carry["roughness"], carry["ri"],
-            carry["is_lam"], carry["is_met"], carry["is_die"],
+            hit_t, hit_id, gx, gy, gz, gi,
+            tuple(jnp.where(hit, s.albedo[idx, c3], zero)
+                  for c3 in range(3)),
+            tuple(jnp.where(hit, s.emissive[idx, c3], zero)
+                  for c3 in range(3)),
+            jnp.where(hit, s.roughness[idx], zero),
+            jnp.where(hit, s.ri[idx], zero),
+            s.mat_is_lam[idx] & hit,
+            s.mat_is_met[idx] & hit,
+            s.mat_is_die[idx] & hit,
         )
 
 
