@@ -396,15 +396,37 @@ class ChunkedScenePort(tc.ScenePort):
         )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame):
-    """Full-frame render of a ScaledScene (jnp path; rows x lanes).
+@partial(jax.jit, static_argnames=("cfg", "row_blocks"))
+def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
+                        row_blocks: int = 8):
+    """Full-frame render of a ScaledScene (jnp path).
+
+    The frame renders in `row_blocks` sequential row blocks (one traced
+    body via fori_loop): whole-frame lanes touch nearly every chunk, so
+    the traversal's whole-batch AABB skip never fires; a row block's
+    primary rays are spatially coherent and most chunks get skipped --
+    the packet-culling win the chunk layout was built for.  Falls back
+    to one block when the height does not divide.
 
     Returns ((H, W, 3) f32, ray count int32), same contract as
     wavefront.render_frame."""
     port = ChunkedScenePort(scene)
     cam = make_camera(scene.camera, cfg.width / cfg.height)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (cfg.height, cfg.width), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (cfg.height, cfg.width), 1)
-    col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, frame)
-    return jnp.stack(col, axis=-1), jnp.sum(raycnt)
+    if cfg.height % row_blocks != 0:
+        row_blocks = 1
+    rb = cfg.height // row_blocks
+
+    def body(b, acc):
+        img_acc, ray_acc = acc
+        y0 = b * rb
+        yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (rb, cfg.width), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (rb, cfg.width), 1)
+        col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, frame)
+        img_acc = jax.lax.dynamic_update_slice(
+            img_acc, jnp.stack(col, axis=-1), (y0, 0, 0))
+        return img_acc, ray_acc + jnp.sum(raycnt)
+
+    init = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+            jnp.int32(0))
+    img, rays = jax.lax.fori_loop(0, row_blocks, body, init)
+    return img, rays
