@@ -262,27 +262,28 @@ class ChunkedScenePort(tc.ScenePort):
                 # already-occluded lanes need no more work for this light
                 lives.append((t0 <= t1) & ~occs[k])
 
-            def detail(occs):
-                cox = ch["cx"][ksl] - ro[0]
-                coy = ch["cy"][ksl] - ro[1]
-                coz = ch["cz"][ksl] - ro[2]
-                cq = cox * cox + coy * coy + coz * coz - ch["sqr"][ksl]
-                idx = ch["base"] + jnp.arange(K, dtype=jnp.int32)
-                out = []
-                for k in range(n_l):
+            # Per-LIGHT chunk gating: a chunk only sits in a few lights'
+            # shadow corridors, so each light's detail (including its
+            # share of the center-offset geometry) runs under its own
+            # cond rather than computing all lights for any live chunk.
+            out = []
+            for k in range(n_l):
+                def detail_k(occ_k, k=k):
+                    cox = ch["cx"][ksl] - ro[0]
+                    coy = ch["cy"][ksl] - ro[1]
+                    coz = ch["cz"][ksl] - ro[2]
+                    cq = cox * cox + coy * coy + coz * coz - ch["sqr"][ksl]
                     l = dirs[k]
                     nb = cox * l[0] + coy * l[1] + coz * l[2]
                     blk = tc._occ_test(nb, cq, t_min, t_ls[k])
+                    idx = ch["base"] + jnp.arange(K, dtype=jnp.int32)
                     not_light = (idx != light_ids[k])[ksl]
                     any_blk = jnp.any(blk & not_light, axis=0)
-                    out.append(occs[k] | (lives[k] & any_blk))
-                return tuple(out)
+                    return occ_k | (lives[k] & any_blk)
 
-            any_live = jnp.zeros((), bool)
-            for lv in lives:
-                any_live = any_live | jnp.any(lv)
-            occs = jax.lax.cond(any_live, detail, lambda o: o, occs)
-            return occs, None
+                out.append(jax.lax.cond(jnp.any(lives[k]), detail_k,
+                                        lambda o: o, occs[k]))
+            return tuple(out), None
 
         occs0 = tuple(zero > 1.0 for _ in range(n_l))
         occs, _ = jax.lax.scan(step, occs0, xs)
