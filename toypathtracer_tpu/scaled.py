@@ -154,6 +154,33 @@ def make_scaled_scene(n: int = 100_000, seed: int = 1234,
 
     n_total = center.shape[0]
     c = n_total // chunk
+    cam_spec = CameraSpec(look_from=(0.0, 8.0, 30.0),
+                          look_at=(0.0, 0.0, 0.0),
+                          aperture=0.02, focus_dist=30.0)
+
+    # Order the CHUNK sequence front-to-back from the camera (sphere
+    # contents stay Morton-contiguous within each chunk): the traversal's
+    # t-pruning (chunk entry distance vs current best hit) then kills
+    # most distant chunks for primary rays, which a space-filling-curve
+    # order defeats.  Chunk 0 is pinned -- it holds the emissive beacons,
+    # whose ids must stay static for NEE.
+    def reorder_chunks(arr):
+        blocks = arr.reshape(c, chunk, *arr.shape[1:])
+        return blocks[chunk_order].reshape(arr.shape)
+
+    ccenter = center.reshape(c, chunk, 3).mean(axis=1)
+    cam_pos = np.asarray(cam_spec.look_from, np.float64)
+    dist = np.linalg.norm(ccenter - cam_pos, axis=1)
+    rest_order = 1 + np.argsort(dist[1:], kind="stable")
+    chunk_order = np.concatenate([[0], rest_order])
+    center = reorder_chunks(center)
+    radius = reorder_chunks(radius)
+    albedo = reorder_chunks(albedo)
+    emissive = reorder_chunks(emissive)
+    roughness = reorder_chunks(roughness)
+    ri = reorder_chunks(ri)
+    mtype = reorder_chunks(mtype)
+
     cmin = (center - radius[:, None]).reshape(c, chunk, 3).min(axis=1)
     cmax = (center + radius[:, None]).reshape(c, chunk, 3).max(axis=1)
     aabb = np.concatenate([cmin, cmax], axis=1).astype(np.float32)
@@ -167,9 +194,7 @@ def make_scaled_scene(n: int = 100_000, seed: int = 1234,
         mat_is_die=jnp.asarray(mtype == MAT_DIELECTRIC),
         chunk_aabb=jnp.asarray(aabb),
         chunk=chunk, n_real=n, emissive_ids=tuple(range(n_lights)),
-        camera=CameraSpec(look_from=(0.0, 8.0, 30.0),
-                          look_at=(0.0, 0.0, 0.0),
-                          aperture=0.02, focus_dist=30.0),
+        camera=cam_spec,
     )
 
 
