@@ -97,3 +97,31 @@ def test_soft_recovers_center_hard_does_not(target):
     err_hard = float(jnp.abs(fit_hard.center[0, 0]))
     # hard estimator has no silhouette signal: it cannot do better
     assert err_soft < err_hard
+
+
+def test_multiview_recovers_depth_axis():
+    """A front view cannot identify the along-ray (z) offset of the
+    sphere; adding a side view triangulates it (inverse.multiview_render
+    _loss / InverseRenderer(cameras=...))."""
+    side_cam = CameraSpec(look_from=(3.0, 0.0, 0.0), look_at=(0.0, 0.0, 0.0),
+                          aperture=0.0)
+    front_cam = CameraSpec(look_from=(0.0, 0.0, 3.0),
+                           look_at=(0.0, 0.0, 0.0), aperture=0.0)
+    cams = (front_cam, side_cam)
+
+    true_scene = one_sphere_scene(0.0)
+    targets = []
+    for cam in cams:
+        img, _ = render_frame(true_scene.replace(camera=cam), CFG_SOFT,
+                              jnp.int32(0), differentiable=True)
+        targets.append(jax.lax.stop_gradient(img))
+    targets = jnp.stack(targets)
+
+    start = true_scene.replace(
+        center=jnp.array([[0.0, 0.0, 0.12]], jnp.float32))  # depth offset
+    inv = InverseRenderer(CFG_SOFT, targets, trainable=("center",),
+                          learning_rate=5e-3, cameras=cams)
+    fitted, losses = inv.fit(start, steps=60, resample=False)
+    errz = float(jnp.abs(fitted.center[0, 2]))
+    assert errz < 0.06, f"multi-view failed to recover depth: {errz}"
+    assert losses[-1] < 0.5 * losses[0]

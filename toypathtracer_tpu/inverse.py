@@ -105,6 +105,23 @@ def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
     return loss_fn(img, target)
 
 
+def multiview_render_loss(scene: Scene, cameras, targets,
+                          cfg: RenderConfig, frame, loss_fn=image_l2):
+    """Mean pixel loss over several (camera, target) views.
+
+    Single-view geometry recovery is identifiability-limited: depth along
+    the view ray and occluded parameters are unconstrained.  Extra views
+    triangulate.  `cameras` is a static tuple of CameraSpec; each view
+    renders `scene.replace(camera=cam)` (the camera is a static Scene
+    field, so the views unroll at trace time)."""
+    total = jnp.float32(0.0)
+    for cam, target in zip(cameras, targets):
+        img, _ = wavefront.render_frame(scene.replace(camera=cam), cfg,
+                                        frame, differentiable=True)
+        total = total + loss_fn(img, target)
+    return total / len(cameras)
+
+
 def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh):
     """value_and_grad of the pixel-L2 loss with image rows sharded over
     `mesh` and loss/grads psum-reduced over ICI.
@@ -155,12 +172,16 @@ class InverseRenderer:
     row-sharded across devices."""
 
     cfg: RenderConfig
-    target: jax.Array
+    target: jax.Array  # (H, W, 3), or (V, H, W, 3) stacked when cameras set
     trainable: Tuple[str, ...] = ("center", "radius", "albedo", "emissive")
     learning_rate: float = 2e-2
     mesh: Optional[Mesh] = None
     loss_fn: Callable = image_l2
     clip_norm: Optional[float] = 1.0  # None disables gradient clipping
+    # Multi-view: a static tuple of CameraSpec, one per target view (the
+    # scene's own camera is ignored).  Triangulates geometry that a
+    # single view cannot identify.  Not combinable with mesh sharding.
+    cameras: Optional[tuple] = None
     # Adam's denominator floor.  The default 1e-8 turns the near-zero,
     # noise-dominated gradients of barely-visible spheres into unit-scale
     # normalized steps (a pure random walk); a larger eps makes step size
@@ -173,7 +194,13 @@ class InverseRenderer:
         self.opt = adam if self.clip_norm is None else optax.chain(
             optax.clip_by_global_norm(self.clip_norm), adam)
         if self.mesh is not None:
+            if self.cameras is not None:
+                raise ValueError("multi-view + mesh sharding not supported")
             self._vg = make_sharded_value_and_grad(self.cfg, self.mesh)
+        elif self.cameras is not None:
+            self._vg = jax.value_and_grad(
+                lambda s, t, f: multiview_render_loss(
+                    s, self.cameras, t, self.cfg, f, self.loss_fn))
         else:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: render_loss(s, t, self.cfg, f,
