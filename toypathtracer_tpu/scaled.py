@@ -36,10 +36,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from .config import RenderConfig
 from .camera import make_camera
 from .ops import tracecore as tc
 from .scene import CameraSpec, MAT_LAMBERT, MAT_METAL, MAT_DIELECTRIC
+
+# Chunk-scan unroll factor (A/B knob; results identical).  Measured on
+# v5e: unroll=8 changes nothing (1.67 s/frame either way) -- the
+# traversal is detail-compute-bound, not scan-overhead-bound -- so the
+# default stays 1 for fast compiles.
+_SCAN_UNROLL = int(_os.environ.get("TPT_SCAN_UNROLL", "1"))
 
 
 def _morton3(ix, iy, iz):
@@ -311,7 +319,7 @@ class ChunkedScenePort(tc.ScenePort):
             return tuple(out), None
 
         occs0 = tuple(zero > 1.0 for _ in range(n_l))
-        occs, _ = jax.lax.scan(step, occs0, xs)
+        occs, _ = jax.lax.scan(step, occs0, xs, unroll=_SCAN_UNROLL)
         return [h & ~o for h, o in zip(light_hits, occs)]
 
     def hit_chunks(self, ro, rd, t_min, t_max, want_material=True):
@@ -391,7 +399,8 @@ class ChunkedScenePort(tc.ScenePort):
             carry = jax.lax.cond(jnp.any(live), detail, lambda c: c, carry)
             return carry, None
 
-        (hit_t, hit_id), _ = jax.lax.scan(step, carry, xs)
+        (hit_t, hit_id), _ = jax.lax.scan(step, carry, xs,
+                                          unroll=_SCAN_UNROLL)
 
         # deferred winner-attribute fetch: one gather per attribute over
         # the flat arrays; misses (id -1) read index 0 and are masked by
