@@ -7,7 +7,10 @@ TPU-shaped analog of an acceleration structure:
 
   * spheres are Morton-order sorted at build time (host numpy) so spatial
     neighbors are contiguous, then partitioned into fixed-size CHUNKS of
-    `chunk` spheres with a precomputed slab AABB each;
+    `chunk` spheres with a precomputed slab AABB each (chunk=1024 won a
+    v5e sweep at 100k spheres: 0.80 s/frame vs 1.70 at 128 and 2.11 at 64
+    -- fewer scan/cond steps and better K-axis vectorization beat the
+    finer culling of small chunks);
   * traversal is a scan over chunks: a ~10-flop ray-vs-AABB slab test
     gates the 2-phase detailed test.  Lanes are SIMD, so per-LANE gating
     saves nothing by itself -- the win comes from (a) *t-based pruning*:
@@ -95,7 +98,7 @@ class ScaledScene:
 
 
 def make_scaled_scene(n: int = 100_000, seed: int = 1234,
-                      chunk: int = 128,
+                      chunk: int = 1024,
                       extent: float = 200.0) -> ScaledScene:
     """Procedurally instance `n` spheres on a jittered disc field around
     the reference camera, Morton-sort, chunk, and compute chunk AABBs.
