@@ -12,12 +12,13 @@ TPU-shaped analog of an acceleration structure:
     -- fewer scan/cond steps and better K-axis vectorization beat the
     finer culling of small chunks);
   * traversal is a scan over chunks: a ~10-flop ray-vs-AABB slab test
-    gates the 2-phase detailed test.  Lanes are SIMD, so per-LANE gating
-    saves nothing by itself -- the win comes from (a) *t-based pruning*:
-    a chunk whose AABB entry distance exceeds the current best hit is
-    skipped wholesale, and (b) in the Pallas kernel, whole-TILE skips of
-    chunks no live ray touches (`@pl.when` on the tile-any of the slab
-    mask), the packet-traversal trick restated for 8x128-lane tiles.
+    gates the detailed test.  Lanes are SIMD, so per-LANE gating saves
+    nothing by itself -- the wins are (a) *t-based pruning*: a chunk
+    whose AABB entry distance exceeds the current best hit is skipped,
+    and (b) whole-BATCH skips (`lax.cond` on any-lane-live) of chunks no
+    ray in the row block touches -- the packet-traversal trick restated
+    for SIMD lane batches (render_frame_scaled renders in row blocks
+    precisely so these fire).
 
 This keeps the MXU/VPU-friendly properties the small-scene path relies on
 (static shapes, no per-lane gathers, streaming sequential access over the
