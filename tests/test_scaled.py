@@ -93,3 +93,29 @@ def test_fused_lights_visible_matches_per_light_hit():
         ref = port.hit_chunks(ro, l, t_min, t_max,
                               want_material=False).hit_id == e
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_traversal_matches_scan():
+    """The Pallas chunk-traversal kernel (interpret mode) must return
+    exactly the scan path's (t, id) for identical rays."""
+    import jax.numpy as jnp
+    from toypathtracer_tpu.scaled import ChunkedScenePort, make_scaled_scene
+    from toypathtracer_tpu.ops.scaled_pallas import hit_chunks_tiles
+
+    scene = make_scaled_scene(n=3000, chunk=256, extent=40.0)
+    port_p = ChunkedScenePort(scene, use_pallas=True, pallas_interpret=True)
+    port_j = ChunkedScenePort(scene)
+    rng = np.random.default_rng(5)
+    ro = tuple(jnp.asarray(rng.uniform(-30, 30, (2, 8, 128)), jnp.float32)
+               for _ in range(3))
+    d = tuple(jnp.asarray(rng.normal(size=(2, 8, 128)), jnp.float32)
+              for _ in range(3))
+    norm = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+    rd = tuple(x / norm for x in d)
+
+    ht, hid = hit_chunks_tiles(port_p._packed, ro, rd, chunk=256,
+                               t_min=1e-3, t_max=1e7, interpret=True)
+    ref = port_j.hit_chunks(ro, rd, 1e-3, 1e7, want_material=False)
+    np.testing.assert_array_equal(np.asarray(ref.hit_id), np.asarray(hid))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(ht))
+    assert int((np.asarray(hid) >= 0).sum()) > 0

@@ -216,7 +216,8 @@ class ChunkedScenePort(tc.ScenePort):
     NEE light access (sphere()/material() at static emissive ids only);
     the hot path overrides hit_spheres via `custom_hit`."""
 
-    def __init__(self, scene: ScaledScene):
+    def __init__(self, scene: ScaledScene, use_pallas: bool = False,
+                 pallas_interpret: bool = False):
         self._s = scene
         self.n = scene.center.shape[0]
         self.emissive_ids = scene.emissive_ids
@@ -224,6 +225,12 @@ class ChunkedScenePort(tc.ScenePort):
         self._inv_radius = jnp.where(scene.radius > 0,
                                      1.0 / jnp.maximum(scene.radius, 1e-8),
                                      0.0)
+        self._use_pallas = use_pallas
+        self._pallas_interpret = pallas_interpret
+        if use_pallas:
+            from .ops.scaled_pallas import pack_chunks
+            self._packed = pack_chunks(scene.center, scene.radius,
+                                       scene.chunk_aabb, scene.chunk)
 
     def sphere(self, i: int) -> tc.SphereData:
         s = self._s
@@ -341,6 +348,14 @@ class ChunkedScenePort(tc.ScenePort):
         C, K = s.chunk_aabb.shape[0], s.chunk
         zero = ro[0] * 0.0
 
+        if (self._use_pallas and ro[0].ndim == 3
+                and ro[0].shape[-2:] == (8, 128)):
+            from .ops.scaled_pallas import hit_chunks_tiles
+            hit_t, hit_id = hit_chunks_tiles(
+                self._packed, ro, rd, chunk=K, t_min=float(t_min),
+                t_max=float(t_max), interpret=self._pallas_interpret)
+            return self._gather_attrs(hit_t, hit_id, want_material)
+
         inv_d = tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                       jnp.where(d >= 0, 1e-12, -1e-12), d)
                       for d in rd)
@@ -405,10 +420,15 @@ class ChunkedScenePort(tc.ScenePort):
 
         (hit_t, hit_id), _ = jax.lax.scan(step, carry, xs,
                                           unroll=_SCAN_UNROLL)
+        return self._gather_attrs(hit_t, hit_id, want_material)
 
-        # deferred winner-attribute fetch: one gather per attribute over
-        # the flat arrays; misses (id -1) read index 0 and are masked by
-        # every consumer (hit_id >= 0 gates all uses in bounce_parts)
+    def _gather_attrs(self, hit_t, hit_id, want_material) -> tc.HitResult:
+        """Deferred winner-attribute fetch: one per-lane gather per
+        attribute over the flat arrays; misses (id -1) read index 0 and
+        are masked by every consumer (hit_id >= 0 gates all uses in
+        bounce_parts)."""
+        s = self._s
+        zero = hit_t * 0.0
         idx = jnp.maximum(hit_id, 0)
         hit = hit_id >= 0
         gx = jnp.where(hit, s.center[idx, 0], zero)
@@ -420,7 +440,6 @@ class ChunkedScenePort(tc.ScenePort):
             f = hit_id < -1
             return tc.HitResult(hit_t, hit_id, gx, gy, gz, gi,
                                 none3, none3, zero, zero, f, f, f)
-        no_hit = ~hit
         return tc.HitResult(
             hit_t, hit_id, gx, gy, gz, gi,
             tuple(jnp.where(hit, s.albedo[idx, c3], zero)
@@ -435,9 +454,9 @@ class ChunkedScenePort(tc.ScenePort):
         )
 
 
-@partial(jax.jit, static_argnames=("cfg", "row_blocks"))
+@partial(jax.jit, static_argnames=("cfg", "row_blocks", "pallas"))
 def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
-                        row_blocks: int = 8):
+                        row_blocks: int = 8, pallas: bool = None):
     """Full-frame render of a ScaledScene (jnp path).
 
     The frame renders in `row_blocks` sequential row blocks (one traced
@@ -449,6 +468,16 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
 
     Returns ((H, W, 3) f32, ray count int32), same contract as
     wavefront.render_frame."""
+    if pallas is None:
+        # Measured a wash vs the jnp scan on v5e (791 vs 764 ms/frame at
+        # 100k/320x176): the kernel's sharper per-tile culling is offset
+        # by its sequential per-sphere scalar loop (no cross-sphere ILP),
+        # and the jnp NEE shadow scan dominates either way.  Off by
+        # default; a fused shadow kernel is the path to making it win.
+        pallas = _os.environ.get("TPT_SCALED_PALLAS", "0") != "0"
+    if pallas:
+        return _render_frame_scaled_pallas(scene, cfg, frame)
+
     port = ChunkedScenePort(scene)
     cam = make_camera(scene.camera, cfg.width / cfg.height)
     if cfg.height % row_blocks != 0:
@@ -468,4 +497,49 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
     init = (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
             jnp.int32(0))
     img, rays = jax.lax.fori_loop(0, row_blocks, body, init)
+    return img, rays
+
+
+def _render_frame_scaled_pallas(scene: ScaledScene, cfg: RenderConfig,
+                                frame, interpret: bool = False,
+                                group_tiles: int = 8):
+    """Pallas-traversal scaled render: lanes shaped (T, 8, 128) so the
+    chunk kernel (ops/scaled_pallas.py) culls at single-tile granularity;
+    the frame renders in groups of `group_tiles` tiles (one traced
+    fori_loop body) so the jnp NEE shadow scan keeps row-block-sized
+    coherent batches.  Tiles are runs of 1024 consecutive pixels in
+    scanline order (spatially coherent); the pixel count is padded up to
+    a tile-group multiple, padded lanes render pixel (0,0) but are
+    excluded from the image and the ray count."""
+    port = ChunkedScenePort(scene, use_pallas=True,
+                            pallas_interpret=interpret)
+    cam = make_camera(scene.camera, cfg.width / cfg.height)
+    n_pix = cfg.height * cfg.width
+    lanes_per_group = group_tiles * 1024
+    n_groups = -(-n_pix // lanes_per_group)
+    n_pad = n_groups * lanes_per_group
+
+    def body(g, acc):
+        col_acc, ray_acc = acc
+        p0 = g * lanes_per_group
+        p = p0 + jax.lax.broadcasted_iota(
+            jnp.int32, (group_tiles, 8, 128), 0) * 1024 \
+            + jax.lax.broadcasted_iota(
+                jnp.int32, (group_tiles, 8, 128), 1) * 128 \
+            + jax.lax.broadcasted_iota(
+                jnp.int32, (group_tiles, 8, 128), 2)
+        valid = p < n_pix
+        pc = jnp.where(valid, p, 0)
+        xx = pc % cfg.width
+        yy = pc // cfg.width
+        col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, frame)
+        raycnt = jnp.where(valid, raycnt, 0)
+        flat = jnp.stack([c.reshape(-1) for c in col], axis=-1)
+        col_acc = jax.lax.dynamic_update_slice(
+            col_acc, flat, (p0, 0))
+        return col_acc, ray_acc + jnp.sum(raycnt)
+
+    init = (jnp.zeros((n_pad, 3), jnp.float32), jnp.int32(0))
+    flat, rays = jax.lax.fori_loop(0, n_groups, body, init)
+    img = flat[:n_pix].reshape(cfg.height, cfg.width, 3)
     return img, rays
