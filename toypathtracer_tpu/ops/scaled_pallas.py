@@ -132,3 +132,108 @@ def hit_chunks_tiles(packed, ro, rd, chunk: int, t_min: float, t_max: float,
         interpret=interpret,
     )(packed, *ro, *rd, *inv)
     return hit_t, hit_id
+
+
+def _shadow_kernel(K: int, n_l: int, t_min: float, light_ids, chunk_ref,
+                   *refs):
+    """Fused NEE occlusion for n_l lights over one chunk axis.
+
+    refs layout: ro(3), per-light dir(3*n_l), per-light inv-dir(3*n_l),
+    per-light t_l(n_l) lane planes, then the occ bitmask output.  The
+    occlusion bit for light k sets when any sphere of any chunk blocks
+    the segment (t_min, t_l_k); per light, the whole sphere loop is
+    pl.when-skipped unless some lane is both slab-live and not yet
+    occluded -- the kernel-side restatement of the jnp path's per-light
+    chunk gating, at (8,128)-tile granularity."""
+    c = pl.program_id(1)
+    ro = tuple(refs[i][0] for i in range(3))
+    dirs = [tuple(refs[3 + 3 * k + a][0] for a in range(3))
+            for k in range(n_l)]
+    invs = [tuple(refs[3 + 3 * n_l + 3 * k + a][0] for a in range(3))
+            for k in range(n_l)]
+    t_ls = [refs[3 + 6 * n_l + k][0] for k in range(n_l)]
+    occ_ref = refs[3 + 7 * n_l]
+
+    @pl.when(c == 0)
+    def _init():
+        occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
+
+    A = 4 * K
+    base = chunk_ref[0, 0, A + 6].astype(jnp.int32)
+    occ = occ_ref[0]
+
+    for k in range(n_l):
+        t0 = jnp.full(ro[0].shape, t_min, jnp.float32)
+        t1 = t_ls[k]
+        for a in range(3):
+            lo = (chunk_ref[0, 0, A + a] - ro[a]) * invs[k][a]
+            hi = (chunk_ref[0, 0, A + 3 + a] - ro[a]) * invs[k][a]
+            t0 = jnp.maximum(t0, jnp.minimum(lo, hi))
+            t1 = jnp.minimum(t1, jnp.maximum(lo, hi))
+        live = (t0 <= t1) & (((occ >> k) & 1) == 0)
+        live_any = jnp.max(live.astype(jnp.int32)) > 0
+
+        @pl.when(live_any)
+        def _light(k=k, live=live):
+            l = dirs[k]
+            t_l = t_ls[k]
+
+            def body(j, blk):
+                cox = chunk_ref[0, 0, j] - ro[0]
+                coy = chunk_ref[0, 0, K + j] - ro[1]
+                coz = chunk_ref[0, 0, 2 * K + j] - ro[2]
+                nb = cox * l[0] + coy * l[1] + coz * l[2]
+                cq = (cox * cox + coy * coy + coz * coz
+                      - chunk_ref[0, 0, 3 * K + j])
+                d = nb * nb - cq
+                a_ = nb - t_min
+                b_ = nb - t_l
+                a2 = a_ * a_
+                b2 = b_ * b_
+                case1 = (a_ > 0.0) & (d < a2)
+                occ0 = (b_ < 0.0) | (b2 < d)
+                occ1 = ((a_ > 0.0) | (d > a2)) & (b_ < 0.0) & (d < b2)
+                blocks = (d > 0.0) & ((case1 & occ0) | (~case1 & occ1))
+                # scalar not-light gate in int space (Mosaic-safe: no
+                # bool-constant selects)
+                not_light = ((base + j) != light_ids[k]).astype(jnp.int32)
+                return blk | (blocks.astype(jnp.int32) * not_light)
+
+            blk = jax.lax.fori_loop(0, K, body,
+                                    jnp.zeros(ro[0].shape, jnp.int32))
+            occ_ref[0] = occ_ref[0] | ((blk & live.astype(jnp.int32)) << k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "n_l", "light_ids", "t_min",
+                                    "interpret"))
+def shadow_chunks_tiles(packed, ro, dirs, t_ls, chunk: int,
+                        light_ids: tuple, t_min: float, n_l: int,
+                        interpret: bool = False):
+    """Occlusion bitmask (bit k = light k blocked) for (T, 8, 128) lanes.
+    `dirs` is a flat tuple of 3*n_l planes, `t_ls` n_l planes."""
+    T = ro[0].shape[0]
+    C = packed.shape[0]
+    invs = []
+    for k in range(n_l):
+        for a in range(3):
+            d = dirs[3 * k + a]
+            safe = jnp.where(jnp.abs(d) < 1e-12,
+                             jnp.where(d >= 0, 1e-12, -1e-12), d)
+            invs.append(1.0 / safe)
+
+    lane_spec = pl.BlockSpec((1,) + LANE_TILE, lambda t, c: (t, 0, 0))
+    kernel = functools.partial(_shadow_kernel, chunk, n_l, t_min,
+                               light_ids)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(T, C),
+        in_specs=[pl.BlockSpec((1, 1, packed.shape[2]),
+                               lambda t, c: (c, 0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [lane_spec] * (3 + 7 * n_l),
+        out_specs=lane_spec,
+        out_shape=jax.ShapeDtypeStruct((T,) + LANE_TILE, jnp.int32),
+        interpret=interpret,
+    )(packed, *ro, *dirs, *invs, *t_ls)
+    return occ

@@ -7,10 +7,10 @@ TPU-shaped analog of an acceleration structure:
 
   * spheres are Morton-order sorted at build time (host numpy) so spatial
     neighbors are contiguous, then partitioned into fixed-size CHUNKS of
-    `chunk` spheres with a precomputed slab AABB each (chunk=1024 won a
-    v5e sweep at 100k spheres: 0.80 s/frame vs 1.70 at 128 and 2.11 at 64
-    -- fewer scan/cond steps and better K-axis vectorization beat the
-    finer culling of small chunks);
+    `chunk` spheres with a precomputed slab AABB each (v5e sweeps at
+    100k spheres: 256 is best for the default Pallas kernels [591 ms],
+    1024 for the jnp scan path [800 ms] -- the kernel favors finer
+    culling, the scan favors fewer cond steps);
   * traversal is a scan over chunks: a ~10-flop ray-vs-AABB slab test
     gates the detailed test.  Lanes are SIMD, so per-LANE gating saves
     nothing by itself -- the wins are (a) *t-based pruning*: a chunk
@@ -99,7 +99,7 @@ class ScaledScene:
 
 
 def make_scaled_scene(n: int = 100_000, seed: int = 1234,
-                      chunk: int = 1024,
+                      chunk: int = 256,
                       extent: float = 200.0) -> ScaledScene:
     """Procedurally instance `n` spheres on a jittered disc field around
     the reference camera, Morton-sort, chunk, and compute chunk AABBs.
@@ -277,6 +277,18 @@ class ChunkedScenePort(tc.ScenePort):
                                       safe=False)
             t_ls.append(t_l)
             light_hits.append(valid & (t_l < t_max))
+
+        if (self._use_pallas and ro[0].ndim == 3
+                and ro[0].shape[-2:] == (8, 128)):
+            from .ops.scaled_pallas import shadow_chunks_tiles
+            occ = shadow_chunks_tiles(
+                self._packed, ro,
+                tuple(c for l in dirs for c in l), tuple(t_ls),
+                chunk=K, light_ids=tuple(light_ids),
+                t_min=float(t_min), n_l=n_l,
+                interpret=self._pallas_interpret)
+            return [h & (((occ >> k) & 1) == 0)
+                    for k, h in enumerate(light_hits)]
 
         inv_ds = [tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                         jnp.where(d >= 0, 1e-12, -1e-12), d)
@@ -469,12 +481,12 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
     Returns ((H, W, 3) f32, ray count int32), same contract as
     wavefront.render_frame."""
     if pallas is None:
-        # Measured a wash vs the jnp scan on v5e (791 vs 764 ms/frame at
-        # 100k/320x176): the kernel's sharper per-tile culling is offset
-        # by its sequential per-sphere scalar loop (no cross-sphere ILP),
-        # and the jnp NEE shadow scan dominates either way.  Off by
-        # default; a fused shadow kernel is the path to making it win.
-        pallas = _os.environ.get("TPT_SCALED_PALLAS", "0") != "0"
+        # Default on TPU: with BOTH traversal and fused-shadow kernels the
+        # Pallas path wins (591 vs 764 ms/frame at 100k/320x176, chunk
+        # 256); kernel-chunk sweep: 64->1041, 128->698, 256->591,
+        # 1024->797 ms.  TPT_SCALED_PALLAS=0 opts out (jnp scan path).
+        pallas = (jax.devices()[0].platform == "tpu"
+                  and _os.environ.get("TPT_SCALED_PALLAS", "1") != "0")
     if pallas:
         return _render_frame_scaled_pallas(scene, cfg, frame)
 
