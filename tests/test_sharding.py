@@ -46,3 +46,28 @@ def test_indivisible_height_rejected(big_scene, mesh):
     with pytest.raises(ValueError):
         from toypathtracer_tpu.parallel.mesh import render_frame_sharded
         render_frame_sharded(big_scene, bad, jnp.int32(0), mesh)
+
+
+def test_scaled_sharded_matches_single_device(mesh):
+    """Config 5: the 100k-sphere (here 2k for test speed) chunked
+    traversal sharded over the mesh must reproduce the single-device
+    scaled render.  Band boundaries match row_blocks=8, so only
+    compilation-level ulp drift on scattered MC paths is tolerated."""
+    import jax.numpy as jnp
+    from toypathtracer_tpu.scaled import (make_scaled_scene,
+                                          render_frame_scaled,
+                                          render_frame_scaled_sharded)
+
+    cfg = RenderConfig(width=64, height=16, samples_per_pixel=1,
+                       max_depth=3)
+    scene = make_scaled_scene(n=2000, chunk=64, extent=40.0)
+    a, ra = render_frame_scaled(scene, cfg, jnp.int32(0), row_blocks=8,
+                                pallas=False)
+    b, rb = render_frame_scaled_sharded(scene, cfg, jnp.int32(0), mesh)
+    a, b = np.asarray(a), np.asarray(b)
+    assert b.shape == (16, 64, 3)
+    assert np.isfinite(b).all()
+    # same per-pixel program; tolerate recompilation ulp flips on a few
+    # MC paths (measured pattern, see render-block docstring)
+    assert np.abs(a - b).mean() < 5e-3
+    assert abs(int(ra) - int(rb)) <= max(1, int(0.005 * int(ra)))

@@ -555,3 +555,45 @@ def _render_frame_scaled_pallas(scene: ScaledScene, cfg: RenderConfig,
     flat, rays = jax.lax.fori_loop(0, n_groups, body, init)
     img = flat[:n_pix].reshape(cfg.height, cfg.width, 3)
     return img, rays
+
+
+def render_frame_scaled_sharded(scene: ScaledScene, cfg: RenderConfig,
+                                frame, mesh):
+    """Scaled-scene render with image rows sharded over a device Mesh
+    (BASELINE config 5's "tiles + ray batches sharded across a pod
+    slice"): each device renders an (H/n, W) band with the full chunked
+    traversal, the scene pytree replicated (broadcast over ICI once --
+    ~100k x 14 floats), and the ray counter psum-reduced, exactly the
+    small-scene sharding contract (parallel/mesh.py).
+
+    Uses the jnp scan traversal inside shards (the Pallas kernels assume
+    (T, 8, 128) lane tiling, which the per-shard row bands do not
+    guarantee).  Returns ((H, W, 3) f32, ray count int32)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    if cfg.height % n != 0:
+        raise ValueError(
+            f"height {cfg.height} must divide evenly over {n} devices")
+    rows_per = cfg.height // n
+    cam = make_camera(scene.camera, cfg.width / cfg.height)
+
+    def shard_fn(scene, frame):
+        port = ChunkedScenePort(scene)
+        y0 = jax.lax.axis_index(axis) * rows_per
+        yy = y0 + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per, cfg.width), 0)
+        xx = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per, cfg.width), 1)
+        col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, frame)
+        return (jnp.stack(col, axis=-1),
+                jax.lax.psum(jnp.sum(raycnt), axis))
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis, None, None), P()),
+    )
+    return fn(scene, frame)
