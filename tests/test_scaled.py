@@ -102,13 +102,15 @@ def test_pallas_traversal_matches_scan():
     from toypathtracer_tpu.scaled import ChunkedScenePort, make_scaled_scene
     from toypathtracer_tpu.ops.scaled_pallas import hit_chunks_tiles
 
+    from toypathtracer_tpu.ops.scaled_pallas import LANE_TILE
+    lanes = (2,) + LANE_TILE
     scene = make_scaled_scene(n=3000, chunk=256, extent=40.0)
     port_p = ChunkedScenePort(scene, use_pallas=True, pallas_interpret=True)
     port_j = ChunkedScenePort(scene)
     rng = np.random.default_rng(5)
-    ro = tuple(jnp.asarray(rng.uniform(-30, 30, (2, 8, 128)), jnp.float32)
+    ro = tuple(jnp.asarray(rng.uniform(-30, 30, lanes), jnp.float32)
                for _ in range(3))
-    d = tuple(jnp.asarray(rng.normal(size=(2, 8, 128)), jnp.float32)
+    d = tuple(jnp.asarray(rng.normal(size=lanes), jnp.float32)
               for _ in range(3))
     norm = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
     rd = tuple(x / norm for x in d)
@@ -119,3 +121,33 @@ def test_pallas_traversal_matches_scan():
     np.testing.assert_array_equal(np.asarray(ref.hit_id), np.asarray(hid))
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(ht))
     assert int((np.asarray(hid) >= 0).sum()) > 0
+
+
+def test_pallas_shadow_kernel_matches_scan():
+    """The fused-shadow kernel's occlusion bitmask (interpret mode) must
+    reproduce the jnp per-light chunk scan exactly."""
+    import jax.numpy as jnp
+    from toypathtracer_tpu.scaled import ChunkedScenePort, make_scaled_scene
+    from toypathtracer_tpu.ops.scaled_pallas import LANE_TILE
+
+    lanes = (2,) + LANE_TILE
+    scene = make_scaled_scene(n=3000, chunk=256, extent=40.0)
+    pp = ChunkedScenePort(scene, use_pallas=True, pallas_interpret=True)
+    pj = ChunkedScenePort(scene)
+    rng = np.random.default_rng(3)
+    ro = tuple(jnp.asarray(rng.uniform(-30, 30, lanes), jnp.float32)
+               for _ in range(3))
+    lights = list(scene.emissive_ids)[:4]
+    dirs = []
+    for e in lights:
+        sp = pp.sphere(e)
+        d = (sp.cx - ro[0] + rng.normal(0, 2, lanes).astype(np.float32),
+             sp.cy - ro[1] + rng.normal(0, 2, lanes).astype(np.float32),
+             sp.cz - ro[2] + rng.normal(0, 2, lanes).astype(np.float32))
+        norm = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+        dirs.append(tuple(x / norm for x in d))
+
+    a = pp.lights_visible(ro, dirs, lights, 1e-3, 1e7)
+    b = pj.lights_visible(ro, dirs, lights, 1e-3, 1e7)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

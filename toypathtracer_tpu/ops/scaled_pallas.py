@@ -34,7 +34,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_TILE = (8, 128)  # rays per kernel tile (one VPU register shape)
+import os as _os
+
+# Rays per kernel tile.  v5e sweep at 100k/320x176 (chunk 256):
+# 8 -> 592, 16 -> 483, 32 -> 473, 64 -> 503 ms/frame -- larger tiles
+# amortize grid/per-chunk overhead until culling coarsens; 32 wins.
+# Override with TPT_SCALED_TILE_H for A/B runs.
+LANE_TILE = (int(_os.environ.get("TPT_SCALED_TILE_H", "32")), 128)
 
 
 def pack_chunks(center, radius, chunk_aabb, chunk: int) -> jax.Array:

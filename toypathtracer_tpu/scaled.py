@@ -278,8 +278,9 @@ class ChunkedScenePort(tc.ScenePort):
             t_ls.append(t_l)
             light_hits.append(valid & (t_l < t_max))
 
+        from .ops.scaled_pallas import LANE_TILE
         if (self._use_pallas and ro[0].ndim == 3
-                and ro[0].shape[-2:] == (8, 128)):
+                and ro[0].shape[-2:] == LANE_TILE):
             from .ops.scaled_pallas import shadow_chunks_tiles
             occ = shadow_chunks_tiles(
                 self._packed, ro,
@@ -360,8 +361,9 @@ class ChunkedScenePort(tc.ScenePort):
         C, K = s.chunk_aabb.shape[0], s.chunk
         zero = ro[0] * 0.0
 
+        from .ops.scaled_pallas import LANE_TILE
         if (self._use_pallas and ro[0].ndim == 3
-                and ro[0].shape[-2:] == (8, 128)):
+                and ro[0].shape[-2:] == LANE_TILE):
             from .ops.scaled_pallas import hit_chunks_tiles
             hit_t, hit_id = hit_chunks_tiles(
                 self._packed, ro, rd, chunk=K, t_min=float(t_min),
@@ -523,23 +525,26 @@ def _render_frame_scaled_pallas(scene: ScaledScene, cfg: RenderConfig,
     scanline order (spatially coherent); the pixel count is padded up to
     a tile-group multiple, padded lanes render pixel (0,0) but are
     excluded from the image and the ray count."""
+    from .ops.scaled_pallas import LANE_TILE
     port = ChunkedScenePort(scene, use_pallas=True,
                             pallas_interpret=interpret)
     cam = make_camera(scene.camera, cfg.width / cfg.height)
     n_pix = cfg.height * cfg.width
-    lanes_per_group = group_tiles * 1024
+    tile_lanes = LANE_TILE[0] * LANE_TILE[1]
+    lanes_per_group = group_tiles * tile_lanes
     n_groups = -(-n_pix // lanes_per_group)
     n_pad = n_groups * lanes_per_group
 
     def body(g, acc):
         col_acc, ray_acc = acc
         p0 = g * lanes_per_group
+        shape3 = (group_tiles,) + LANE_TILE
         p = p0 + jax.lax.broadcasted_iota(
-            jnp.int32, (group_tiles, 8, 128), 0) * 1024 \
+            jnp.int32, shape3, 0) * tile_lanes \
             + jax.lax.broadcasted_iota(
-                jnp.int32, (group_tiles, 8, 128), 1) * 128 \
+                jnp.int32, shape3, 1) * LANE_TILE[1] \
             + jax.lax.broadcasted_iota(
-                jnp.int32, (group_tiles, 8, 128), 2)
+                jnp.int32, shape3, 2)
         valid = p < n_pix
         pc = jnp.where(valid, p, 0)
         xx = pc % cfg.width
