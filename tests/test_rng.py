@@ -120,12 +120,17 @@ def test_sphere_sample_in_sphere():
 
 def test_rejection_disk_matches_cpu_oracle():
     """Rejection sampler consumes exactly the CPU reference's draw sequence
-    (Maths.cpp:20-28)."""
+    (Maths.cpp:20-28).  The reference writes
+    float3(RandomFloat01(state), RandomFloat01(state), 0) and g++ (which
+    builds the golden oracle) evaluates constructor arguments
+    RIGHT-to-LEFT, so the first draw lands in .y (verified against a
+    per-sample printf trace of the compiled oracle; see
+    tracecore.random_in_unit_disk_reject)."""
     def py_disk(s):
         while True:
             s, r1 = py_rand01(s)
             s, r2 = py_rand01(s)
-            px, py_ = r1 * 2 - 1, r2 * 2 - 1
+            px, py_ = r2 * 2 - 1, r1 * 2 - 1
             if px * px + py_ * py_ < 1.0:
                 return s, (px, py_)
 
@@ -139,12 +144,14 @@ def test_rejection_disk_matches_cpu_oracle():
 
 
 def test_rejection_sphere_matches_cpu_oracle():
+    """Draw order .z, .y, .x -- g++ right-to-left constructor-argument
+    evaluation, as in test_rejection_disk_matches_cpu_oracle."""
     def py_sph(s):
         while True:
             s, r1 = py_rand01(s)
             s, r2 = py_rand01(s)
             s, r3 = py_rand01(s)
-            p = (r1 * 2 - 1, r2 * 2 - 1, r3 * 2 - 1)
+            p = (r3 * 2 - 1, r2 * 2 - 1, r1 * 2 - 1)
             if sum(c * c for c in p) < 1.0:
                 return s, p
 

@@ -53,6 +53,11 @@ class RenderConfig:
     # renderer.
     tile_h: int = 16   # Pallas pixel-tile height
     tile_w: int = 128  # Pallas pixel-tile width
+    # Gradient-kernel tile (ops/pallas_grad.py): the in-kernel vjp holds
+    # per-depth carry snapshots in VMEM, so its tiles are smaller than the
+    # forward kernel's.
+    grad_tile_h: int = 8
+    grad_tile_w: int = 128
 
     # Soft-silhouette gradient estimator (differentiable path only; the
     # forward image is bit-identical regardless).  When > 0, the lockstep
@@ -62,6 +67,20 @@ class RenderConfig:
     # the north star's edge-aware gradients.  Units of eps: length^2 (the
     # discriminant's); ~1e-2 x typical sphere radius^2 works well.
     soft_silhouette_eps: float = 0.0
+
+    def __post_init__(self):
+        # The fused wavefront loop bit-packs per-lane bounce depth into 8
+        # bits and samples-started into bits 10..31 of one int32
+        # (tracecore.render_pixels_fused); out-of-range values would
+        # silently corrupt lane state instead of erroring.
+        if not (1 <= self.max_depth <= 255):
+            raise ValueError(f"max_depth must be in [1, 255], "
+                             f"got {self.max_depth}")
+        if not (1 <= self.samples_per_pixel <= (1 << 21)):
+            raise ValueError(f"samples_per_pixel must be in [1, 2^21], "
+                             f"got {self.samples_per_pixel}")
+        if self.width < 1 or self.height < 1:
+            raise ValueError(f"bad resolution {self.width}x{self.height}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -216,14 +216,37 @@ def random_unit_vector(state):
     return state, (r * jnp.cos(a), r * jnp.sin(a), z)
 
 
+def random_unit_vector_exact(state):
+    """CPU-parity uniform direction: the closed form of Maths.cpp:39-47
+    with the reference's exact float association ((r * 2.0f) * kPI,
+    Maths.cpp:43).  XLA-CPU's f32 sin/cos were measured to match glibc's
+    sinf/cosf (what the compiled oracle calls) bit-exactly on the whole
+    sampler input grid, so no extended-precision trig is needed."""
+    state, r1 = rand01(state)
+    z = r1 * 2.0 - 1.0
+    state, r2 = rand01(state)
+    a = (r2 * jnp.float32(2.0)) * jnp.float32(KPI)
+    r = jnp.sqrt(1.0 - z * z)
+    return state, (r * jnp.cos(a), r * jnp.sin(a), z)
+
+
 def random_in_unit_disk_reject(state):
     """CPU rejection-loop disk sample, 2 draws per iteration (reference:
     Maths.cpp:20-28).  Variable draw count -- only usable in the scalar
-    parity path (lax.while_loop; vmap masks finished lanes)."""
+    parity path (lax.while_loop; vmap masks finished lanes).
+
+    Draw-to-component mapping: the reference writes
+    `float3(RandomFloat01(state), RandomFloat01(state), 0)` and C++ leaves
+    constructor-argument evaluation order unspecified; g++ (which builds
+    the golden oracle, tools/gen_golden.py) evaluates RIGHT-to-LEFT, so
+    the FIRST draw lands in .y and the SECOND in .x.  The accept test
+    x^2+y^2 < 1 is symmetric, so the draw COUNT (and thus the downstream
+    RNG stream) is unaffected -- only the component order.  Verified
+    against a per-sample printf trace of the compiled oracle."""
     def draw(st):
         st, r1 = rand01(st)
         st, r2 = rand01(st)
-        return st, r1 * 2.0 - 1.0, r2 * 2.0 - 1.0
+        return st, r2 * 2.0 - 1.0, r1 * 2.0 - 1.0
 
     st, px, py = draw(state)
 
@@ -241,12 +264,14 @@ def random_in_unit_disk_reject(state):
 
 def random_in_unit_sphere_reject(state):
     """CPU rejection-loop sphere sample, 3 draws per iteration (reference:
-    Maths.cpp:30-37)."""
+    Maths.cpp:30-37).  g++ evaluates the float3 constructor arguments
+    right-to-left (see random_in_unit_disk_reject): draw order is
+    .z, .y, .x."""
     def draw(st):
         st, r1 = rand01(st)
         st, r2 = rand01(st)
         st, r3 = rand01(st)
-        return st, r1 * 2.0 - 1.0, r2 * 2.0 - 1.0, r3 * 2.0 - 1.0
+        return st, r3 * 2.0 - 1.0, r2 * 2.0 - 1.0, r1 * 2.0 - 1.0
 
     st, px, py, pz = draw(state)
 
@@ -282,7 +307,7 @@ GPU_SAMPLERS = Samplers(random_in_unit_disk, random_in_unit_sphere,
                         random_unit_vector, exact_shadow=False)
 CPU_SAMPLERS = Samplers(random_in_unit_disk_reject,
                         random_in_unit_sphere_reject,
-                        random_unit_vector, exact_shadow=True)
+                        random_unit_vector_exact, exact_shadow=True)
 
 
 # ---------------------------------------------------------------------------
@@ -479,8 +504,13 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     # constraint -- same finding as the tile-size cliff).
     hit_t = jnp.full(shape, t_max, f32)
     hit_id = jnp.full(shape, -1, jnp.int32)
+    # safe=False (sqrt(max(d,0))) is 2 ops cheaper but its reverse rule is
+    # 0.5/sqrt(0) * 0 = NaN on no-hit lanes; differentiable ports (the
+    # Pallas gradient kernel's TupleScenePort) opt into the NaN-free
+    # custom-vjp sqrt.  Forward values are identical either way.
+    safe = getattr(port, "needs_safe_grad", False)
     for i in range(port.n):
-        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min, safe=False)
+        t, valid = _sphere_t(port.sphere(i), ro, rd, t_min, safe=safe)
         msk = valid & (t < hit_t)
         hit_t = jnp.where(msk, t, hit_t)
         hit_id = jnp.where(msk, i, hit_id)
@@ -538,6 +568,77 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
         (acc["alb_r"], acc["alb_g"], acc["alb_b"]),
         (acc["em_r"], acc["em_g"], acc["em_b"]),
         acc["roughness"], acc["ri"], is_lam, is_met, is_die,
+    )
+
+
+class SilhouetteInfo(NamedTuple):
+    """Result of silhouette_query: signed silhouette proximity plus the
+    miss-side candidate sphere's data (valid where cand_on)."""
+    d: jax.Array          # signed discriminant (see silhouette_distance)
+    cand_on: jax.Array    # bool: an in-front candidate exists (miss side)
+    nb: jax.Array         # candidate's closest-approach distance along ray
+    cx: jax.Array
+    cy: jax.Array
+    cz: jax.Array
+    radius: jax.Array
+    alb: tuple
+    em: tuple
+    is_lam: jax.Array
+    is_met: jax.Array
+    is_die: jax.Array
+
+
+def silhouette_query(port: ScenePort, ro, rd, t_min, hit_id):
+    """Two-sided silhouette query for the soft-visibility estimator.
+
+    Hit lanes: the winning sphere's discriminant (as silhouette_distance).
+    Miss lanes: the argmax-discriminant in-front sphere -- the sphere the
+    ray would graze first if geometry moved toward it -- PLUS that
+    sphere's shading attributes, so the miss side of the boundary can
+    blend toward an estimate of the radiance behind the silhouette
+    (the two-sided term the one-sided estimator drops; VERDICT round 1
+    item 2).  Differentiable-path only (never in the forward kernels)."""
+    shape = jnp.shape(ro[0])
+    zero = ro[0] * 0.0
+    false0 = zero > 1.0
+    best_hit = zero
+    st = dict(d=zero - 1e9, nb=zero, cx=zero, cy=zero, cz=zero,
+              radius=zero, alb_r=zero, alb_g=zero, alb_b=zero,
+              em_r=zero, em_g=zero, em_b=zero)
+    is_lam = false0
+    is_met = false0
+    is_die = false0
+
+    for i in range(port.n):
+        sp = port.sphere(i)
+        m = port.material(i)
+        cox = sp.cx - ro[0]
+        coy = sp.cy - ro[1]
+        coz = sp.cz - ro[2]
+        nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+        c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+        d = nb * nb - c
+        best_hit = best_hit + (hit_id == i).astype(jnp.float32) * d
+        msk = (nb > t_min) & (d > st["d"])
+        vals = dict(d=d, nb=nb, cx=sp.cx, cy=sp.cy, cz=sp.cz,
+                    radius=sp.radius,
+                    alb_r=m.alb[0], alb_g=m.alb[1], alb_b=m.alb[2],
+                    em_r=m.em[0], em_g=m.em[1], em_b=m.em[2])
+        for k in st:
+            st[k] = jnp.where(msk, vals[k], st[k])
+        # mtype is static: the per-sphere update compiles to one select
+        is_lam = msk | (is_lam & ~msk) if m.mtype == 0 else (is_lam & ~msk)
+        is_met = msk | (is_met & ~msk) if m.mtype == 1 else (is_met & ~msk)
+        is_die = msk | (is_die & ~msk) if m.mtype == 2 else (is_die & ~msk)
+
+    cand_on = st["d"] > -1e8
+    d_signed = jnp.where(hit_id >= 0, best_hit, st["d"])
+    return SilhouetteInfo(
+        d=d_signed, cand_on=cand_on, nb=st["nb"],
+        cx=st["cx"], cy=st["cy"], cz=st["cz"], radius=st["radius"],
+        alb=(st["alb_r"], st["alb_g"], st["alb_b"]),
+        em=(st["em_r"], st["em_g"], st["em_b"]),
+        is_lam=is_lam, is_met=is_met, is_die=is_die,
     )
 
 
@@ -811,11 +912,45 @@ def camera_get_ray(cam, s, t, state, samplers: Samplers = GPU_SAMPLERS):
 # ---------------------------------------------------------------------------
 
 
+def _lights_occlusion_proximity(port, ro, dirs, light_ids, t_min, t_ls):
+    """Per-light signed occlusion proximity for the soft shadow-boundary
+    estimator: max over potential occluders (spheres whose closest
+    approach lies inside the shadow segment, excluding the light itself)
+    of the discriminant d = nb^2 - c.  d > 0 ~ occluded, d < 0 ~ clear,
+    d -> 0 at the shadow boundary; smooth in occluder centers/radii
+    wherever the argmax identity is locally constant.  Differentiable
+    path only (the forward kernels keep the sqrt-free boolean test)."""
+    out = []
+    for lid, l, t_l in zip(light_ids, dirs, t_ls):
+        d_occ = ro[0] * 0.0 - 1e9
+        for i in range(port.n):
+            if i == lid:
+                continue
+            sp = port.sphere(i)
+            cox = sp.cx - ro[0]
+            coy = sp.cy - ro[1]
+            coz = sp.cz - ro[2]
+            nb = cox * l[0] + coy * l[1] + coz * l[2]
+            c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+            d = nb * nb - c
+            in_seg = (nb > t_min) & (nb < t_l)
+            d_occ = jnp.where(in_seg, jnp.maximum(d_occ, d), d_occ)
+        out.append(d_occ)
+    return out
+
+
 def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
-                     samplers: Samplers):
+                     samplers: Samplers, soft: bool = False):
     """Lambert scatter + NEE (reference: Test.cpp:86-135,
     ComputeShader.hlsl:192-237).  `active` = lanes actually running this
-    branch (alive & hit & is_lambert); gates RNG consumption only."""
+    branch (alive & hit & is_lambert); gates RNG consumption only.
+
+    soft=True adds the NEE shadow-boundary gradient (the reference's
+    shadow test at ComputeShader.hlsl:222 is a step in occluder geometry):
+    each light's visibility becomes a straight-through sigmoid of the
+    occluder-discriminant proximity -- forward values are bit-unchanged
+    (Sterbenz: hard 1 pairs with sigma >= 0.5, hard 0 subtracts exactly),
+    backward carries sigma' terms into occluder centers/radii."""
     state, ruv = samplers.unit_vector(state)
     # ((pos + normal) + ruv), as in Test.cpp:89 / hlsl:195 (association
     # matters for golden parity)
@@ -886,25 +1021,108 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
                 port, pos, [c[3] for c in cones], [c[0] for c in cones],
                 cfg.min_t, cfg.max_t)
 
+        # Soft shadow-boundary proximity (differentiable path only): the
+        # per-light occluder discriminant that turns the visibility step
+        # into a straight-through sigmoid below.
+        soft_shadow = soft and cfg.soft_silhouette_eps > 0.0
+        if soft_shadow:
+            t_ls = [
+                _sphere_t(port.sphere(e), pos, l, cfg.min_t, safe=False)[0]
+                for e, _, _, l, _ in cones]
+            d_occs = _lights_occlusion_proximity(
+                port, pos, [c[3] for c in cones], [c[0] for c in cones],
+                cfg.min_t, t_ls)
+        else:
+            d_occs = [None] * len(cones)
+
         # Phase 3 -- contributions, in the reference's light order.
         nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
-        for (e, em, lane_on, l, cos_a_max), see in zip(cones, sees):
+        for (e, em, lane_on, l, cos_a_max), see, d_occ in zip(cones, sees,
+                                                              d_occs):
             omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
             # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
             # -- association as in Test.cpp:131 / hlsl:232.
             fac = jnp.maximum(0.0, dot3(l, nl)) * omega / jnp.float32(KPI)
-            contrib_on = lane_on & see
-            light_e = (
-                jnp.where(contrib_on,
-                          light_e[0] + (alb[0] * em.em[0]) * fac, light_e[0]),
-                jnp.where(contrib_on,
-                          light_e[1] + (alb[1] * em.em[1]) * fac, light_e[1]),
-                jnp.where(contrib_on,
-                          light_e[2] + (alb[2] * em.em[2]) * fac, light_e[2]),
-            )
+            if soft_shadow:
+                # Straight-through soft visibility: forward == the hard
+                # boolean bit-for-bit (where the sigmoid side agrees,
+                # Sterbenz makes hard-soft+soft exact; where the range
+                # tests disagree with the proximity sign, fall back to
+                # hard), backward == sigma'(-d_occ/eps) into occluder
+                # geometry (the shadow test, ComputeShader.hlsl:222).
+                eps = jnp.float32(cfg.soft_silhouette_eps)
+                see_f = see.astype(jnp.float32)
+                vis_s = jax.nn.sigmoid(-d_occ / eps)
+                agree = see == (d_occ < 0.0)
+                vis_st = jax.lax.stop_gradient(see_f - vis_s) + vis_s
+                vis = jnp.where(jax.lax.stop_gradient(agree), vis_st,
+                                see_f)
+                lane_f = jax.lax.stop_gradient(lane_on.astype(jnp.float32))
+                light_e = (
+                    light_e[0] + (alb[0] * em.em[0]) * fac * vis * lane_f,
+                    light_e[1] + (alb[1] * em.em[1]) * fac * vis * lane_f,
+                    light_e[2] + (alb[2] * em.em[2]) * fac * vis * lane_f,
+                )
+            else:
+                contrib_on = lane_on & see
+                light_e = (
+                    jnp.where(contrib_on,
+                              light_e[0] + (alb[0] * em.em[0]) * fac,
+                              light_e[0]),
+                    jnp.where(contrib_on,
+                              light_e[1] + (alb[1] * em.em[1]) * fac,
+                              light_e[1]),
+                    jnp.where(contrib_on,
+                              light_e[2] + (alb[2] * em.em[2]) * fac,
+                              light_e[2]),
+                )
             shadow_count = shadow_count + lane_on.astype(jnp.int32)
 
     return state, sdir, light_e, shadow_count
+
+
+def _tangent_radiance(port: ScenePort, cfg: RenderConfig, q: SilhouetteInfo,
+                      ro, rd):
+    """Estimate of the radiance a ray would carry if it grazed the
+    silhouette candidate sphere -- the "behind the boundary" value of the
+    two-sided soft-silhouette estimator (miss side).  One-bounce local
+    shading at the tangent point: Lambert -> emission + albedo *
+    (unoccluded NEE expectation + sky at the normal); metal -> albedo *
+    sky(rd) (a grazing mirror continues forward); dielectric -> sky(rd)
+    (a grazing dielectric transmits) -- so silhouettes of mirror/glass
+    spheres against the sky correctly contribute ~zero boundary term.
+
+    Every op is NaN-guarded: this runs on ALL miss lanes (candidate data
+    is zero where cand_on is false) and is multiplied by a forward-zero
+    straight-through weight, so an inf/NaN here would poison the backward
+    pass through 0 * NaN."""
+    shape = jnp.shape(ro[0])
+    pos_t = add3(ro, scale3(rd, q.nb))
+    to_c = sub3(pos_t, (q.cx, q.cy, q.cz))
+    n_t = scale3(to_c, jax.lax.rsqrt(jnp.maximum(dot3(to_c, to_c), 1e-12)))
+    sky_n = sky_color(n_t, cfg)
+    sky_d = sky_color(rd, cfg)
+    nee = splat3(shape, (0.0, 0.0, 0.0))
+    if cfg.do_light_sampling:
+        for e in port.emissive_ids:
+            es = port.sphere(e)
+            em = port.material(e)
+            to_l = sub3((es.cx, es.cy, es.cz), pos_t)
+            d2 = jnp.maximum(dot3(to_l, to_l), 1e-8)
+            cos_a_max = safe_sqrt_pos(1.0 - es.radius * es.radius / d2)
+            omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
+            dir_l = scale3(to_l, jax.lax.rsqrt(d2))
+            fac = jnp.maximum(0.0, dot3(dir_l, n_t)) * omega \
+                / jnp.float32(KPI)
+            nee = (nee[0] + em.em[0] * fac, nee[1] + em.em[1] * fac,
+                   nee[2] + em.em[2] * fac)
+    lam_f = q.is_lam.astype(jnp.float32)
+    met_f = q.is_met.astype(jnp.float32)
+    die_f = q.is_die.astype(jnp.float32)
+    return tuple(
+        lam_f * (q.em[ch] + q.alb[ch] * (nee[ch] + sky_n[ch]))
+        + met_f * (q.alb[ch] * sky_d[ch]) + die_f * sky_d[ch]
+        for ch in range(3))
 
 
 def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
@@ -958,7 +1176,7 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     def _lam_run():
         return _scatter_lambert(
             port, cfg, res.alb, pos, normal, rd, res.hit_id, lam_on, state,
-            samplers)
+            samplers, soft=soft)
 
     if skip_empty:
         def _lam_skip():
@@ -1050,29 +1268,36 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
         # radiance with a straight-through sigmoid of the winning
         # discriminant.  FORWARD values are exactly the hard select
         # (w == 1.0/0.0 exactly via stop_gradient(hard - soft) + soft);
-        # BACKWARD gets  d sigma(d_sil/eps) * (e_hit - sky), the smooth
-        # boundary surrogate.
-        d_sil = silhouette_distance(port, ro, rd, cfg.min_t, res.hit_id)
-        w_soft = jax.nn.sigmoid(d_sil / jnp.float32(cfg.soft_silhouette_eps))
+        # BACKWARD gets the smooth boundary surrogate, TWO-SIDED:
+        #   hit lanes:  d sigma(d_sil/eps) * (e_hit - sky)
+        #   miss lanes: d sigma(d_sil/eps) * (L_tangent_est - sky)
+        # where L_tangent_est shades the almost-hit sphere at its grazing
+        # point (_tangent_radiance) -- the term the round-1 one-sided
+        # estimator dropped (it covered only half the boundary measure).
+        eps = jnp.float32(cfg.soft_silhouette_eps)
+        q = silhouette_query(port, ro, rd, cfg.min_t, res.hit_id)
+        d_sil = q.d
+        w_soft = jax.nn.sigmoid(d_sil / eps)
         w_hard = (res.hit_id >= 0).astype(jnp.float32)
-        # One-sided: soften only HIT lanes.  Miss lanes' gathered
-        # attributes are all zero (hit_id == -1), so a two-sided blend
-        # would claim the surface behind the silhouette is black --
-        # wrong-signed gradients for bright spheres (measured).  Gating
-        # the soft term by stop_grad(w_hard) keeps the hit-side boundary
-        # derivative (hit -> miss transition, real e_hit vs sky) and
-        # zeroes the miss side; direction is correct everywhere at half
-        # the boundary measure.
+        # Hit side: gate by stop_grad(w_hard) -- sigma >= 0.5 there, so
+        # stop_grad(1 - w_soft) + w_soft == 1.0 exactly (Sterbenz).
         w_soft = w_soft * jax.lax.stop_gradient(w_hard)
         w = jax.lax.stop_gradient(w_hard - w_soft) + w_soft
+        # Miss side: forward-zero straight-through weight, gradient
+        # gated to miss lanes with a real in-front candidate.
+        miss_gate = jax.lax.stop_gradient(
+            (no_hit & q.cand_on).astype(jnp.float32))
+        w_m_soft = jax.nn.sigmoid(d_sil / eps) * miss_gate
+        w_m = w_m_soft - jax.lax.stop_gradient(w_m_soft)  # == 0.0 forward
+        l_est = _tangent_radiance(port, cfg, q, ro, rd)
         # within-hit cases stay hard (scatter/absorb identity is not a
         # silhouette); only the hit<->miss boundary is softened
         e_hit = sel3(scatter_ok, add3(gated_e, light_e), mat_e)
         c_hit = sel3(scatter_ok, attenuation, zero3)
         e_soft = (
-            w * e_hit[0] + (1.0 - w) * sky[0],
-            w * e_hit[1] + (1.0 - w) * sky[1],
-            w * e_hit[2] + (1.0 - w) * sky[2],
+            w * e_hit[0] + (1.0 - w) * sky[0] + w_m * (l_est[0] - sky[0]),
+            w * e_hit[1] + (1.0 - w) * sky[1] + w_m * (l_est[1] - sky[1]),
+            w * e_hit[2] + (1.0 - w) * sky[2] + w_m * (l_est[2] - sky[2]),
         )
         c_soft = (w * c_hit[0], w * c_hit[1], w * c_hit[2])
         e = sel3(alive, e_soft, zero3)
@@ -1150,34 +1375,38 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
     raycnt = zero.astype(jnp.int32)
     carry = (ro, rd, col, atten, alive, do_me, state, raycnt)
 
+    # Mask vectors cross loop boundaries as int32: Mosaic cannot legalize
+    # scf.yield of i1 vectors (loop bodies still compute in i1 -- the
+    # encode/decode is exact, so jnp and Pallas agree).  Both the fast
+    # while_loop and the differentiable fori_loop need this (the latter
+    # also runs inside the Pallas gradient kernel, ops/pallas_grad.py).
+    def encode(c):
+        ro, rd, col, atten, alive, do_me, state, raycnt = c
+        return (ro, rd, col, atten, alive.astype(jnp.int32),
+                do_me.astype(jnp.int32), state, raycnt)
+
+    def decode(c):
+        ro, rd, col, atten, alive_i, do_me_i, state, raycnt = c
+        return (ro, rd, col, atten, alive_i != 0, do_me_i != 0,
+                state, raycnt)
+
     if differentiable:
         # Remat the bounce step: reverse-mode otherwise saves every
         # intermediate of all max_depth bounces (~50 arrays x lanes x
         # depth of residual HBM traffic); checkpointing keeps only the
         # loop carry and recomputes the bounce in the backward sweep --
-        # ~1.5x forward FLOPs for ~10x less residual traffic.
-        # TPT_REMAT=0 reverts to full residual saving.
-        step = lambda c: bounce_step(port, cfg, c, samplers,
-                                     soft=cfg.soft_silhouette_eps > 0.0)
+        # ~1.5x forward FLOPs for ~10x less residual traffic.  Inside the
+        # Pallas gradient kernel the saved carries live in VMEM, which is
+        # the whole point of that kernel.  TPT_REMAT=0 reverts to full
+        # residual saving.
+        step = lambda c: encode(bounce_step(port, cfg, decode(c), samplers,
+                                soft=cfg.soft_silhouette_eps > 0.0))
         if os.environ.get("TPT_REMAT", "1") != "0":
             step = jax.checkpoint(step)
         carry = jax.lax.fori_loop(0, cfg.max_depth,
-                                  lambda _, c: step(c), carry)
-        ro, rd, col, atten, alive, do_me, state, raycnt = carry
+                                  lambda _, c: step(c), encode(carry))
+        ro, rd, col, atten, alive, do_me, state, raycnt = decode(carry)
     else:
-        # Mask vectors cross the while-loop boundary as int32: Mosaic cannot
-        # legalize scf.yield of i1 vectors (the loop body still computes in
-        # i1 -- the encode/decode is exact, so jnp and Pallas agree).
-        def encode(c):
-            ro, rd, col, atten, alive, do_me, state, raycnt = c
-            return (ro, rd, col, atten, alive.astype(jnp.int32),
-                    do_me.astype(jnp.int32), state, raycnt)
-
-        def decode(c):
-            ro, rd, col, atten, alive_i, do_me_i, state, raycnt = c
-            return (ro, rd, col, atten, alive_i != 0, do_me_i != 0,
-                    state, raycnt)
-
         def cond(dc):
             d, c = dc
             return (d < cfg.max_depth) & (jnp.max(c[4]) > 0)

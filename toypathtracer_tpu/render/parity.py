@@ -79,3 +79,46 @@ def render_frame_parity(scene: Scene, cfg: RenderConfig, frame):
     ys = jnp.arange(cfg.height, dtype=jnp.int32)
     cols, counts = jax.vmap(lambda y: _render_row(scene, cfg, frame, y))(ys)
     return cols, jnp.sum(counts)
+
+
+def _render_pixel_pp(scene: Scene, cfg: RenderConfig, cam, frame, x, y):
+    """One pixel with CPU samplers but an independent per-pixel RNG stream
+    (the reference's GPU seeding scheme, ComputeShader.hlsl:380)."""
+    port = ArrayScenePort(scene)
+    state = tc.seed_pixels(x, y, frame)
+    fx = x.astype(jnp.float32)
+    fy = y.astype(jnp.float32)
+    col = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    raycnt = jnp.int32(0)
+    for _ in range(cfg.samples_per_pixel):
+        state, ur = tc.rand01(state)
+        u = (fx + ur) * jnp.float32(cfg.inv_width)
+        state, vr = tc.rand01(state)
+        v = (fy + vr) * jnp.float32(cfg.inv_height)
+        state, ro, rd = tc.camera_get_ray(cam, u, v, state, tc.CPU_SAMPLERS)
+        c, state, rc = tc.trace_cpu_exact(port, cfg, ro, rd, state)
+        col = tc.add3(col, c)
+        raycnt = raycnt + rc
+    col = tc.scale3(col, jnp.float32(1.0 / cfg.samples_per_pixel))
+    return jnp.stack(col), raycnt
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame_parity_pp(scene: Scene, cfg: RenderConfig, frame):
+    """CPU-scalar semantics with PER-PIXEL seeding.
+
+    Matches the oracle built by tools/gen_golden.py with pixel_seed=True
+    (the reference's row loop mechanically reseeded per pixel with its own
+    GPU formula).  Because every pixel's RNG stream is independent, a
+    flipped rejection-loop branch decorrelates only that one pixel --
+    unlike the sequential per-row threading (Test.cpp:280) where one flip
+    decorrelates the whole rest of the row -- so full-frame-tight golden
+    gates become possible (tests/test_parity.py).
+    """
+    cam = make_camera(scene.camera, cfg.width / cfg.height)
+    ys = jnp.arange(cfg.height, dtype=jnp.int32)
+    xs = jnp.arange(cfg.width, dtype=jnp.int32)
+    xx, yy = jnp.meshgrid(xs, ys)  # (H, W)
+    cols, counts = jax.vmap(jax.vmap(
+        lambda x, y: _render_pixel_pp(scene, cfg, cam, frame, x, y)))(xx, yy)
+    return cols, jnp.sum(counts)
