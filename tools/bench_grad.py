@@ -9,6 +9,11 @@ as in the forward pass (the backward replays the same ray tree).
 
 Usage: python tools/bench_grad.py [--width 1280 --height 720 --spp 4
                                    --depth 10 --frames 4]
+                                  [--backend jnp|pallas]
+
+--backend pallas routes through ops/pallas_grad.render_frame_pallas_diff:
+fused Pallas forward + in-kernel-vjp backward (per-bounce carries stay in
+VMEM instead of round-tripping HBM).
 """
 
 import argparse
@@ -29,6 +34,7 @@ def main():
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--backend", choices=("jnp", "pallas"), default="jnp")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +60,8 @@ def main():
     target = jax.lax.stop_gradient(target)
     rays_per_frame = int(rays_per_frame)
 
-    vg = jax.value_and_grad(lambda s, f: render_loss(s, target, cfg, f))
+    vg = jax.value_and_grad(
+        lambda s, f: render_loss(s, target, cfg, f, backend=args.backend))
 
     @jax.jit
     def steps(scene):
@@ -81,7 +88,7 @@ def main():
               f"{mrays:.1f} Mray/s (fwd+bwd)", file=sys.stderr)
     import json
     print(json.dumps({"metric": "Mray/s fwd+bwd", "value": round(best, 1),
-                      "unit": "Mray/s"}))
+                      "unit": "Mray/s", "backend": args.backend}))
 
 
 if __name__ == "__main__":

@@ -99,9 +99,20 @@ def image_l2_tonemapped(img, target):
 
 
 def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
-                loss_fn=image_l2):
-    """Pixel loss of a differentiable single-frame render against `target`."""
-    img, _ = wavefront.render_frame(scene, cfg, frame, differentiable=True)
+                loss_fn=image_l2, backend: str = "jnp"):
+    """Pixel loss of a differentiable single-frame render against `target`.
+
+    backend="pallas" renders AND differentiates through the fused Pallas
+    kernels (ops/pallas_grad.render_frame_pallas_diff): forward is the
+    fast fused kernel, backward is the in-kernel-vjp gradient kernel --
+    the per-bounce carries of the reverse sweep stay in VMEM instead of
+    round-tripping HBM (the 3.8x fwd+bwd cliff of the XLA path)."""
+    if backend == "pallas":
+        from .ops.pallas_grad import render_frame_pallas_diff
+        img, _ = render_frame_pallas_diff(scene, cfg, frame)
+    else:
+        img, _ = wavefront.render_frame(scene, cfg, frame,
+                                        differentiable=True)
     return loss_fn(img, target)
 
 
@@ -188,11 +199,18 @@ class InverseRenderer:
     # proportional to gradient magnitude below that scale, pinning
     # unconstrained parameters in place.
     adam_eps: float = 1e-8
+    # "jnp": reverse-mode XLA through the lockstep loop (jax.checkpoint).
+    # "pallas": fused forward + fused in-kernel-vjp backward kernels
+    # (ops/pallas_grad.py).  Not combinable with mesh/cameras yet.
+    backend: str = "jnp"
 
     def __post_init__(self):
         adam = optax.adam(self.learning_rate, eps=self.adam_eps)
         self.opt = adam if self.clip_norm is None else optax.chain(
             optax.clip_by_global_norm(self.clip_norm), adam)
+        if self.backend == "pallas" and (self.mesh is not None
+                                         or self.cameras is not None):
+            raise ValueError("backend='pallas' is single-device single-view")
         if self.mesh is not None:
             if self.cameras is not None:
                 raise ValueError("multi-view + mesh sharding not supported")
@@ -204,7 +222,7 @@ class InverseRenderer:
         else:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: render_loss(s, t, self.cfg, f,
-                                            self.loss_fn))
+                                            self.loss_fn, self.backend))
         self._step = jax.jit(self._step_impl)
 
     def _step_impl(self, scene, opt_state, mask, frame):
