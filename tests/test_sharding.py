@@ -48,6 +48,23 @@ def test_indivisible_height_rejected(big_scene, mesh):
         render_frame_sharded(big_scene, bad, jnp.int32(0), mesh)
 
 
+def test_sharded_pallas_matches_single_device_pallas(big_scene, mesh):
+    """The production multi-chip configuration -- the Pallas kernel inside
+    each shard_map shard -- must be bit-identical to single-device Pallas
+    (per-tile computation depends only on global pixel coordinates; the
+    8x16-row bands align with cfg.tile_h=16 tiles)."""
+    from toypathtracer_tpu.ops.pallas_render import render_frame_pallas
+    from toypathtracer_tpu.parallel.mesh import render_frame_sharded_pallas
+
+    img1, rays1 = render_frame_pallas(big_scene, CFG, jnp.int32(1),
+                                      interpret=True)
+    imgn, raysn = render_frame_sharded_pallas(big_scene, CFG, jnp.int32(1),
+                                              mesh, interpret=True)
+    assert imgn.shape == (CFG.height, CFG.width, 3)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(imgn))
+    assert int(rays1) == int(raysn)
+
+
 def test_scaled_sharded_matches_single_device(mesh):
     """Config 5: the 100k-sphere (here 2k for test speed) chunked
     traversal sharded over the mesh must reproduce the single-device

@@ -52,11 +52,18 @@ def _pick_backend(name: str):
         from .render.parity import render_frame_parity
         return render_frame_parity, "parity"
     if name == "sharded":
-        from .parallel.mesh import make_mesh, render_frame_sharded_jit
+        from .parallel.mesh import (make_mesh, render_frame_sharded_jit,
+                                    render_frame_sharded_pallas)
         mesh = make_mesh()
-        fn = partial(render_frame_sharded_jit, mesh=mesh)
-        return (lambda scene, cfg, frame: fn(scene, cfg, frame)), \
-            f"sharded x{len(mesh.devices.ravel())}"
+        # On TPU each shard runs the fused Pallas kernel (the production
+        # multi-chip configuration); elsewhere the jnp wavefront tiles.
+        if jax.devices()[0].platform == "tpu":
+            fn = partial(render_frame_sharded_pallas, mesh=mesh)
+            tag = f"sharded-pallas x{len(mesh.devices.ravel())}"
+        else:
+            fn = partial(render_frame_sharded_jit, mesh=mesh)
+            tag = f"sharded x{len(mesh.devices.ravel())}"
+        return (lambda scene, cfg, frame: fn(scene, cfg, frame)), tag
     raise SystemExit(f"unknown backend {name!r}")
 
 

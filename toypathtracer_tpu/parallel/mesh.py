@@ -77,10 +77,16 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, frame,
         img = jnp.transpose(img, (1, 2, 0))
         return img, jax.lax.psum(raycnt, axis)
 
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata (their ShapeDtypeStructs can't declare vma through the
+    # render_tile seam), which the checker rejects.  Forward-only path;
+    # correctness is guarded by the bit-identity tests in
+    # tests/test_sharding.py.
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(axis, None, None), P()),
+        check_vma=False,
     )
     return fn(scene, frame)
 
@@ -89,3 +95,19 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, frame,
 def render_frame_sharded_jit(scene: Scene, cfg: RenderConfig, frame,
                              mesh: Mesh):
     return render_frame_sharded(scene, cfg, frame, mesh)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "interpret"))
+def render_frame_sharded_pallas(scene: Scene, cfg: RenderConfig, frame,
+                                mesh: Mesh, interpret: bool = False):
+    """The production multi-chip configuration: each shard renders its row
+    band with the fused Pallas kernel (ops/pallas_render.render_tile_pallas)
+    instead of the jnp wavefront tiles.  Per-tile computation depends only
+    on global pixel coordinates, so when the band height is a multiple of
+    cfg.tile_h the result is bit-identical to single-device Pallas
+    (asserted in tests/test_sharding.py); other band heights pad+crop per
+    shard (correct, slightly wasteful).  interpret=True runs the kernel in
+    interpreter mode (CPU CI / the multichip dryrun)."""
+    from ..ops.pallas_render import render_tile_pallas
+    tile = partial(render_tile_pallas, interpret=interpret)
+    return render_frame_sharded(scene, cfg, frame, mesh, render_tile=tile)
