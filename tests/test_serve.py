@@ -49,6 +49,31 @@ def test_toggle_resets_accumulation():
     assert int(np.asarray(v.sess.state.frame)) == 2
 
 
+def test_backend_toggle_resets_accumulation():
+    """Runtime renderer switch (the reference's 'g' key,
+    TestWin.cpp:419-423): switching backends resets progressive
+    accumulation; unknown names are rejected."""
+    from functools import partial
+    from toypathtracer_tpu.ops.pallas_render import render_frame_pallas
+
+    fns = {"jnp": None,
+           "pallas": partial(render_frame_pallas, interpret=True)}
+    v = Viewer(tpt.make_scene(big=False), TINY, render_fns=fns,
+               backend="jnp")
+    v.step_once()
+    v.step_once()
+    assert v.backend == "jnp"
+    assert v.set_backend("pallas") is True
+    assert v.set_backend("bogus") is False
+    v.step_once()  # applies the switch, resets, renders frame 0
+    assert v.backend == "pallas"
+    assert int(np.asarray(v.sess.state.frame)) == 1
+    # same-name switch must NOT reset
+    v.set_backend("pallas")
+    v.step_once()
+    assert int(np.asarray(v.sess.state.frame)) == 2
+
+
 def test_http_surface():
     v = make_viewer()
     v.step_once()
@@ -68,6 +93,8 @@ def test_http_surface():
         assert stats["frames"] == 1
         assert stats["progressive"] is True and stats["animate"] is False
         assert "Mrays/s" in stats["hud"]
+        assert stats["backend"] == "default"
+        assert stats["backends"] == ["default"]
 
         urllib.request.urlopen(
             base + "/set?animate=1&progressive=1", timeout=10).read()

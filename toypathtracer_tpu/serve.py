@@ -18,6 +18,10 @@ Here the "window" is a browser tab served by a stdlib HTTP server:
   * `GET /set?animate=0|1&progressive=0|1` toggles the runtime flags --
     and, as in every reference frontend, any toggle resets progressive
     accumulation (TestWin.cpp:424-431);
+  * `GET /set?backend=<name>` switches the renderer at runtime (key 'g'
+    in the page) -- the analog of the reference's per-frame GPU/CPU flip
+    (TestWin.cpp:419-423: key 'g' flips gUseGPU and resets frameCount);
+    here the roles are pallas (GPU analog) vs jnp (portable analog);
   * animation time advances with the wall clock, scaled by 0.2 like the
     web frontend (Cpp/Emscripten/main.cpp:57).
 
@@ -39,7 +43,7 @@ import numpy as np
 from . import io as image_io
 from .config import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
 from .profiling import FrameTimer
-from .render.frame import RenderSession
+from .render.frame import RenderSession, init_frame_state
 from .scene import make_scene
 
 _PAGE = """<!DOCTYPE html>
@@ -52,6 +56,8 @@ label {{ margin-right: 1.5em; }}
 <div>
   <label><input type="checkbox" id="animate"> animate (a)</label>
   <label><input type="checkbox" id="progressive" checked> progressive (p)</label>
+  <label id="backendlabel" style="display:none">
+    backend (g): <span id="backend">?</span></label>
 </div>
 <div id="hud">starting...</div>
 <img id="frame" width="{width}" alt="render">
@@ -63,9 +69,14 @@ function setFlags() {{
         '&progressive=' + (progressive.checked ? 1 : 0));
 }}
 animate.onchange = setFlags; progressive.onchange = setFlags;
+let backends = [], curBackend = '';
 document.addEventListener('keydown', e => {{
   if (e.key === 'a') {{ animate.checked = !animate.checked; setFlags(); }}
   if (e.key === 'p') {{ progressive.checked = !progressive.checked; setFlags(); }}
+  if (e.key === 'g' && backends.length > 1) {{
+    const next = backends[(backends.indexOf(curBackend) + 1) % backends.length];
+    fetch('/set?backend=' + next);
+  }}
 }});
 function step() {{
   const next = new Image();
@@ -74,7 +85,13 @@ function step() {{
   next.src = '/frame.png?t=' + Date.now();
 }}
 setInterval(() => fetch('/stats').then(r => r.json())
-  .then(s => {{ hud.textContent = s.hud; }}).catch(() => {{}}), 500);
+  .then(s => {{
+    hud.textContent = s.hud;
+    backends = s.backends; curBackend = s.backend;
+    document.getElementById('backend').textContent = s.backend;
+    document.getElementById('backendlabel').style.display =
+      backends.length > 1 ? 'inline' : 'none';
+  }}).catch(() => {{}}), 500);
 step();
 </script></body></html>
 """
@@ -87,14 +104,28 @@ class Viewer:
 
     def __init__(self, scene, cfg: RenderConfig,
                  flags: int = FLAG_PROGRESSIVE, render_fn=None,
-                 time_scale: float = 0.2):
+                 time_scale: float = 0.2, render_fns=None,
+                 backend: str | None = None):
+        # render_fns: {name: render_fn or None (= default jnp wavefront)}.
+        # More than one entry enables the runtime backend switch (the
+        # reference's 'g' key, TestWin.cpp:419-423).  The plain render_fn
+        # kwarg remains as the single-backend shorthand.
+        if render_fns is None:
+            render_fns = {"default": render_fn}
+        self.render_fns = render_fns
+        self.backend = backend if backend is not None \
+            else next(iter(render_fns))
+        if self.backend not in render_fns:
+            raise ValueError(f"backend {self.backend!r} not in "
+                             f"{sorted(render_fns)}")
         self.sess = RenderSession(scene, cfg, flags=flags,
-                                  render_fn=render_fn)
+                                  render_fn=render_fns[self.backend])
         self.cfg = cfg
         self.time_scale = time_scale
         self.timer = FrameTimer(window=10)
         self._lock = threading.Lock()
         self._pending_flags: int | None = None
+        self._pending_backend: str | None = None
         self._png = image_io.png_bytes(
             np.zeros((cfg.height, cfg.width, 3), np.float32))
         self._hud = "starting..."
@@ -108,6 +139,16 @@ class Viewer:
                 (FLAG_PROGRESSIVE if progressive else 0)
         with self._lock:
             self._pending_flags = flags
+
+    def set_backend(self, name: str) -> bool:
+        """Request a renderer switch (applied by the render thread between
+        frames; resets progressive accumulation, TestWin.cpp:419-423).
+        Returns False for unknown names."""
+        if name not in self.render_fns:
+            return False
+        with self._lock:
+            self._pending_backend = name
+        return True
 
     def snapshot(self):
         with self._lock:
@@ -123,8 +164,14 @@ class Viewer:
     def step_once(self) -> None:
         with self._lock:
             pending, self._pending_flags = self._pending_flags, None
+            pending_b, self._pending_backend = self._pending_backend, None
         if pending is not None and pending != self.sess.flags:
             self.sess.set_flags(pending)  # resets accumulation
+            self.timer = FrameTimer(window=10)
+        if pending_b is not None and pending_b != self.backend:
+            self.backend = pending_b
+            self.sess.render_fn = self.render_fns[pending_b]
+            self.sess.state = init_frame_state(self.cfg)  # reset accum
             self.timer = FrameTimer(window=10)
         t = (time.perf_counter() - self._t0) * self.time_scale
         t0 = time.perf_counter()
@@ -182,14 +229,21 @@ def make_handler(viewer: Viewer):
                     "frames": int(np.asarray(viewer.sess.state.frame)),
                     "animate": bool(flags & FLAG_ANIMATE),
                     "progressive": bool(flags & FLAG_PROGRESSIVE),
+                    "backend": viewer.backend,
+                    "backends": sorted(viewer.render_fns),
                 }).encode()
                 self._send(200, "application/json", body)
             elif url.path == "/set":
                 q = parse_qs(url.query)
-                viewer.set_flags(
-                    animate=q.get("animate", ["0"])[0] == "1",
-                    progressive=q.get("progressive", ["1"])[0] == "1")
-                self._send(200, "application/json", b'{"ok": true}')
+                ok = True
+                if "backend" in q:
+                    ok = viewer.set_backend(q["backend"][0])
+                if "animate" in q or "progressive" in q:
+                    viewer.set_flags(
+                        animate=q.get("animate", ["0"])[0] == "1",
+                        progressive=q.get("progressive", ["1"])[0] == "1")
+                body = b'{"ok": true}' if ok else b'{"ok": false}'
+                self._send(200 if ok else 400, "application/json", body)
             else:
                 self._send(404, "text/plain", b"not found")
 
@@ -209,18 +263,46 @@ def main(argv=None) -> int:
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--max-depth", type=int, default=10)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--scaled", type=int, default=0, metavar="N",
+                    help="view the procedurally instanced N-sphere scene "
+                         "(chunked traversal; backend toggle = scaled "
+                         "jnp/pallas kernels)")
     ap.add_argument("--animate", action="store_true")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp", "parity", "sharded"])
     args = ap.parse_args(argv)
 
     _enable_compile_cache()
+    import jax
+    on_tpu = jax.devices()[0].platform == "tpu"
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, max_depth=args.max_depth)
-    scene = make_scene(big=not args.small)
-    render_fn, backend_name = _pick_backend(args.backend)
     flags = FLAG_PROGRESSIVE | (FLAG_ANIMATE if args.animate else 0)
-    viewer = Viewer(scene, cfg, flags=flags, render_fn=render_fn)
+    if args.scaled:
+        from functools import partial
+        from .scaled import make_scaled_scene, render_frame_scaled
+        if args.animate:
+            raise SystemExit("--scaled has no animation path")
+        scene = make_scaled_scene(n=args.scaled)
+        render_fns = {"jnp": partial(render_frame_scaled, pallas=False)}
+        if on_tpu:
+            render_fns["pallas"] = partial(render_frame_scaled, pallas=True)
+        backend_name = "pallas" if on_tpu else "jnp"
+        viewer = Viewer(scene, cfg, flags=flags, render_fns=render_fns,
+                        backend=backend_name)
+        backend_name = f"scaled-{backend_name} ({args.scaled} spheres)"
+    else:
+        scene = make_scene(big=not args.small)
+        render_fn, backend_name = _pick_backend(args.backend)
+        # jnp <-> pallas are runtime-switchable (key 'g'); the other
+        # backends stay fixed at what --backend selected.
+        if backend_name in ("jnp", "pallas") and on_tpu:
+            from .ops.pallas_render import render_frame_pallas
+            render_fns = {"jnp": None, "pallas": render_frame_pallas}
+            viewer = Viewer(scene, cfg, flags=flags, render_fns=render_fns,
+                            backend=backend_name)
+        else:
+            viewer = Viewer(scene, cfg, flags=flags, render_fn=render_fn)
     viewer.start()
 
     server = ThreadingHTTPServer((args.host, args.port),
