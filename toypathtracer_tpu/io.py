@@ -50,18 +50,18 @@ def to_u8(img: np.ndarray, cheap: bool = False) -> np.ndarray:
 
 
 def write_tga(path: str, img: np.ndarray, cheap_srgb: bool = False) -> None:
-    """Uncompressed 24-bit TGA (reference: Cs/Program.cs:49-59).
-
-    TGA stores rows bottom-up by default and pixels as BGR, which matches
-    the reference's dump exactly."""
+    """Uncompressed 32-bit BGRA TGA, alpha 255 -- byte-for-byte the
+    reference CLI's dump (reference: Cs/Program.cs:34-59: header byte 32,
+    bottom-up rows, BGRA pixel order)."""
     u8 = to_u8(img, cheap=cheap_srgb)[::-1]  # back to bottom-up for TGA
     h, w, _ = u8.shape
     header = struct.pack(
-        "<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 24, 0)
-    bgr = u8[:, :, ::-1]
+        "<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 32, 0)
+    bgra = np.concatenate(
+        [u8[:, :, ::-1], np.full((h, w, 1), 255, np.uint8)], axis=-1)
     with open(path, "wb") as f:
         f.write(header)
-        f.write(bgr.tobytes())
+        f.write(bgra.tobytes())
 
 
 def png_encode(u8: np.ndarray) -> bytes:

@@ -113,11 +113,13 @@ def image_metrics(a: np.ndarray, b: np.ndarray, tol: float = 1e-5):
 def progressive_blend(accum: np.ndarray, frame: np.ndarray,
                       fac: float) -> np.ndarray:
     """Host-side reference blend (Test.cpp:272-276 + Metal NaN guard);
-    returns the updated accumulator (in place when native)."""
+    always returns a fresh array (the native kernel works in place, so the
+    input is copied first -- aliasing semantics match the numpy path)."""
     lib = _load()
     accum = _f32c(accum)
     framef = _f32c(frame)
     if lib is not None:
+        accum = accum.copy()
         rc = lib.tpt_progressive_blend(
             accum.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             framef.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

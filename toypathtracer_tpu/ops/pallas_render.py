@@ -63,10 +63,15 @@ def pack_scene(scene: Scene) -> jax.Array:
     scalars (sqRadius, invRadius) are computed here, the analog of
     SpheresSoA's per-frame refresh (reference: Test.cpp:322-330)."""
     c = scene.center
+    # Guard degenerate (zero/negative-radius, e.g. padded) spheres exactly
+    # like scaled.ChunkedScenePort: inv_radius 0 instead of inf, so normals
+    # stay finite on both paths.
+    inv_radius = jnp.where(scene.radius > 0,
+                           1.0 / jnp.maximum(scene.radius, 1e-8), 0.0)
     return jnp.stack([
         c[:, 0], c[:, 1], c[:, 2],
         scene.radius * scene.radius,
-        1.0 / scene.radius,
+        inv_radius,
         scene.radius,
         scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
         scene.emissive[:, 0], scene.emissive[:, 1], scene.emissive[:, 2],
