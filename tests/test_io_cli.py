@@ -29,15 +29,16 @@ def test_tga_roundtrip(tmp_path):
     path = str(tmp_path / "out.tga")
     image_io.write_tga(path, img)
     raw = open(path, "rb").read()
-    # header: type 2 (uncompressed truecolor), 8x4, 24bpp
+    # header: type 2 (uncompressed truecolor), 8x4, 32bpp BGRA with
+    # alpha=255 -- byte-for-byte the reference CLI (Cs/Program.cs:43-55)
     assert raw[2] == 2
     w, h = struct.unpack("<HH", raw[12:16])
     assert (w, h) == (8, 4)
-    assert raw[16] == 24
-    px = np.frombuffer(raw[18:], np.uint8).reshape(4, 8, 3)
-    # TGA rows are bottom-up, BGR: bottom-left pixel is our red pixel
-    assert tuple(px[0, 0]) == (0, 0, 255)
-    assert tuple(px[1, 1]) == (0, 0, 0)
+    assert raw[16] == 32
+    px = np.frombuffer(raw[18:], np.uint8).reshape(4, 8, 4)
+    # TGA rows are bottom-up, BGRA: bottom-left pixel is our red pixel
+    assert tuple(px[0, 0]) == (0, 0, 255, 255)
+    assert tuple(px[1, 1]) == (0, 0, 0, 255)
 
 
 def test_to_u8_flips_vertically():
