@@ -88,3 +88,25 @@ def test_scaled_sharded_matches_single_device(mesh):
     # MC paths (measured pattern, see render-block docstring)
     assert np.abs(a - b).mean() < 5e-3
     assert abs(int(ra) - int(rb)) <= max(1, int(0.005 * int(ra)))
+
+
+def test_scaled_sharded_pallas_matches_single_device(mesh):
+    """Config 5 with the Pallas traversal kernels INSIDE each shard (the
+    production multi-chip scaled configuration): bit-identical to the
+    single-device Pallas scaled render (per-pixel program depends only on
+    global pixel coordinates; bands are tile-group decompositions)."""
+    import jax.numpy as jnp
+    from toypathtracer_tpu.scaled import (_render_frame_scaled_pallas,
+                                          make_scaled_scene,
+                                          render_frame_scaled_sharded)
+
+    cfg = RenderConfig(width=64, height=16, samples_per_pixel=1,
+                       max_depth=3)
+    scene = make_scaled_scene(n=2000, chunk=64, extent=40.0)
+    a, ra = _render_frame_scaled_pallas(scene, cfg, jnp.int32(0),
+                                        interpret=True)
+    b, rb = render_frame_scaled_sharded(scene, cfg, jnp.int32(0), mesh,
+                                        pallas=True, interpret=True)
+    assert b.shape == (16, 64, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ra) == int(rb)

@@ -468,9 +468,11 @@ class ChunkedScenePort(tc.ScenePort):
         )
 
 
-@partial(jax.jit, static_argnames=("cfg", "row_blocks", "pallas"))
+@partial(jax.jit, static_argnames=("cfg", "row_blocks", "pallas",
+                                   "differentiable"))
 def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
-                        row_blocks: int = 8, pallas: bool = None):
+                        row_blocks: int = 8, pallas: bool = None,
+                        differentiable: bool = False):
     """Full-frame render of a ScaledScene (jnp path).
 
     The frame renders in `row_blocks` sequential row blocks (one traced
@@ -480,8 +482,19 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
     the packet-culling win the chunk layout was built for.  Falls back
     to one block when the height does not divide.
 
+    differentiable=True makes the whole render reverse-mode safe
+    (BASELINE config 5 + gradients): the bounce loop switches to the
+    fixed-trip lockstep form (tc.render_pixels differentiable path) and
+    the Pallas traversal kernels are bypassed (jnp scan only).  The
+    chunked traversal itself is already reverse-safe: fixed-trip
+    lax.scan over chunks, lax.cond packet skips (vjp runs the taken
+    branch), argmin winner + gather attribute fetch (vjp scatter-adds
+    into the sphere arrays).  Gradients flow to every ScaledScene array.
+
     Returns ((H, W, 3) f32, ray count int32), same contract as
     wavefront.render_frame."""
+    if differentiable:
+        pallas = False
     if pallas is None:
         # Default on TPU: with BOTH traversal and fused-shadow kernels the
         # Pallas path wins (591 vs 764 ms/frame at 100k/320x176, chunk
@@ -503,7 +516,8 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
         y0 = b * rb
         yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (rb, cfg.width), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (rb, cfg.width), 1)
-        col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, frame)
+        col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, frame,
+                                       differentiable=differentiable)
         img_acc = jax.lax.dynamic_update_slice(
             img_acc, jnp.stack(col, axis=-1), (y0, 0, 0))
         return img_acc, ray_acc + jnp.sum(raycnt)
@@ -514,38 +528,42 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
     return img, rays
 
 
-def _render_frame_scaled_pallas(scene: ScaledScene, cfg: RenderConfig,
-                                frame, interpret: bool = False,
-                                group_tiles: int = 8):
-    """Pallas-traversal scaled render: lanes shaped (T, 8, 128) so the
-    chunk kernel (ops/scaled_pallas.py) culls at single-tile granularity;
-    the frame renders in groups of `group_tiles` tiles (one traced
-    fori_loop body) so the jnp NEE shadow scan keeps row-block-sized
-    coherent batches.  Tiles are runs of 1024 consecutive pixels in
-    scanline order (spatially coherent); the pixel count is padded up to
-    a tile-group multiple, padded lanes render pixel (0,0) but are
-    excluded from the image and the ray count."""
+def _scaled_pallas_band(port: ChunkedScenePort, cfg: RenderConfig, cam,
+                        frame, pix0, band_pix: int,
+                        group_tiles: int = 8):
+    """Render `band_pix` consecutive scanline-order pixels starting at
+    (dynamic) flat pixel index `pix0` with the Pallas traversal kernels.
+
+    Lanes are shaped (T, 8, 128) so the chunk kernel culls at single-tile
+    granularity; the band renders in groups of `group_tiles` tiles (one
+    traced fori_loop body) so the jnp NEE shadow scan keeps
+    row-block-sized coherent batches.  Tiles are runs of 1024 consecutive
+    pixels (spatially coherent); the band is padded up to a tile-group
+    multiple, padded lanes render pixel (0,0) but are excluded from the
+    result and the ray count.  Per-pixel output depends only on global
+    pixel coordinates, so band decomposition does not change values
+    (the sharded path's bit-identity contract).
+
+    Returns (flat (band_pix, 3) f32, ray count int32)."""
     from .ops.scaled_pallas import LANE_TILE
-    port = ChunkedScenePort(scene, use_pallas=True,
-                            pallas_interpret=interpret)
-    cam = make_camera(scene.camera, cfg.width / cfg.height)
     n_pix = cfg.height * cfg.width
     tile_lanes = LANE_TILE[0] * LANE_TILE[1]
     lanes_per_group = group_tiles * tile_lanes
-    n_groups = -(-n_pix // lanes_per_group)
+    n_groups = -(-band_pix // lanes_per_group)
     n_pad = n_groups * lanes_per_group
+    pix0 = jnp.asarray(pix0, jnp.int32)
 
     def body(g, acc):
         col_acc, ray_acc = acc
         p0 = g * lanes_per_group
         shape3 = (group_tiles,) + LANE_TILE
-        p = p0 + jax.lax.broadcasted_iota(
+        p = pix0 + p0 + jax.lax.broadcasted_iota(
             jnp.int32, shape3, 0) * tile_lanes \
             + jax.lax.broadcasted_iota(
                 jnp.int32, shape3, 1) * LANE_TILE[1] \
             + jax.lax.broadcasted_iota(
                 jnp.int32, shape3, 2)
-        valid = p < n_pix
+        valid = (p < pix0 + band_pix) & (p < n_pix)
         pc = jnp.where(valid, p, 0)
         xx = pc % cfg.width
         yy = pc // cfg.width
@@ -558,12 +576,26 @@ def _render_frame_scaled_pallas(scene: ScaledScene, cfg: RenderConfig,
 
     init = (jnp.zeros((n_pad, 3), jnp.float32), jnp.int32(0))
     flat, rays = jax.lax.fori_loop(0, n_groups, body, init)
-    img = flat[:n_pix].reshape(cfg.height, cfg.width, 3)
-    return img, rays
+    return flat[:band_pix], rays
+
+
+def _render_frame_scaled_pallas(scene: ScaledScene, cfg: RenderConfig,
+                                frame, interpret: bool = False,
+                                group_tiles: int = 8):
+    """Pallas-traversal scaled render of the full frame (see
+    _scaled_pallas_band for the kernel/tiling story)."""
+    port = ChunkedScenePort(scene, use_pallas=True,
+                            pallas_interpret=interpret)
+    cam = make_camera(scene.camera, cfg.width / cfg.height)
+    n_pix = cfg.height * cfg.width
+    flat, rays = _scaled_pallas_band(port, cfg, cam, frame, 0, n_pix,
+                                     group_tiles)
+    return flat.reshape(cfg.height, cfg.width, 3), rays
 
 
 def render_frame_scaled_sharded(scene: ScaledScene, cfg: RenderConfig,
-                                frame, mesh):
+                                frame, mesh, pallas: bool = None,
+                                interpret: bool = False):
     """Scaled-scene render with image rows sharded over a device Mesh
     (BASELINE config 5's "tiles + ray batches sharded across a pod
     slice"): each device renders an (H/n, W) band with the full chunked
@@ -571,9 +603,13 @@ def render_frame_scaled_sharded(scene: ScaledScene, cfg: RenderConfig,
     ~100k x 14 floats), and the ray counter psum-reduced, exactly the
     small-scene sharding contract (parallel/mesh.py).
 
-    Uses the jnp scan traversal inside shards (the Pallas kernels assume
-    (T, 8, 128) lane tiling, which the per-shard row bands do not
-    guarantee).  Returns ((H, W, 3) f32, ray count int32)."""
+    pallas=None (default) uses the Pallas traversal kernels inside each
+    shard on TPU and the jnp scan elsewhere; pallas=True forces the
+    kernels (interpret=True for CPU CI).  Per-pixel output depends only
+    on global pixel coordinates, so sharded output equals single-device
+    output bit-for-bit on both paths (tests/test_scaled.py).
+
+    Returns ((H, W, 3) f32, ray count int32)."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -584,10 +620,22 @@ def render_frame_scaled_sharded(scene: ScaledScene, cfg: RenderConfig,
             f"height {cfg.height} must divide evenly over {n} devices")
     rows_per = cfg.height // n
     cam = make_camera(scene.camera, cfg.width / cfg.height)
+    if pallas is None:
+        pallas = (jax.devices()[0].platform == "tpu"
+                  and _os.environ.get("TPT_SCALED_PALLAS", "1") != "0")
 
     def shard_fn(scene, frame):
+        idx = jax.lax.axis_index(axis)
+        if pallas:
+            port = ChunkedScenePort(scene, use_pallas=True,
+                                    pallas_interpret=interpret)
+            band_pix = rows_per * cfg.width
+            flat, raycnt = _scaled_pallas_band(
+                port, cfg, cam, frame, idx * band_pix, band_pix)
+            col = flat.reshape(rows_per, cfg.width, 3)
+            return col, jax.lax.psum(raycnt, axis)
         port = ChunkedScenePort(scene)
-        y0 = jax.lax.axis_index(axis) * rows_per
+        y0 = idx * rows_per
         yy = y0 + jax.lax.broadcasted_iota(
             jnp.int32, (rows_per, cfg.width), 0)
         xx = jax.lax.broadcasted_iota(
@@ -600,5 +648,8 @@ def render_frame_scaled_sharded(scene: ScaledScene, cfg: RenderConfig,
         shard_fn, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(axis, None, None), P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata (same
+        # seam as parallel/mesh.py); bit-identity tests guard correctness.
+        check_vma=False,
     )
     return fn(scene, frame)
