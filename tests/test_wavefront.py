@@ -50,21 +50,41 @@ def test_progressive_blend_matches_formula(big_scene):
     state = frame_mod.init_frame_state(CFG)
     s1, img1, _ = frame_mod.progressive_step(
         state, big_scene, jnp.float32(0.0), CFG, FLAG_PROGRESSIVE)
+    # materialize before the next step: the state is donated and the
+    # returned image aliases its accumulator (progressive_step docstring)
+    img1 = np.asarray(img1)
     s2, img2, _ = frame_mod.progressive_step(
         s1, big_scene, jnp.float32(0.0), CFG, FLAG_PROGRESSIVE)
     f0, _ = render_frame(big_scene, CFG, jnp.int32(0))
     f1, _ = render_frame(big_scene, CFG, jnp.int32(1))
     # frame 0: lerpFac = 0 -> img1 == f0 ; frame 1: 0.5*f0 + 0.5*f1
-    np.testing.assert_allclose(np.asarray(img1), np.asarray(f0), atol=1e-6)
+    np.testing.assert_allclose(img1, np.asarray(f0), atol=1e-6)
     want = 0.5 * np.asarray(f0) + 0.5 * np.asarray(f1)
     np.testing.assert_allclose(np.asarray(img2), want, atol=1e-5)
     assert int(s2.frame) == 2
 
 
+def test_progressive_step_donation():
+    """The accumulation round-trip is donated (the reference's ping-pong
+    texture pair, TestWin.cpp:285-297): the lowered module marks the
+    incoming FrameState buffers as donors, so on TPU the blend reuses the
+    previous accumulator's HBM instead of allocating per frame."""
+    from toypathtracer_tpu import make_scene
+    scene = make_scene(big=False)
+    state = frame_mod.init_frame_state(CFG)
+    lowered = frame_mod.progressive_step.lower(
+        state, scene, jnp.float32(0.0), CFG, FLAG_PROGRESSIVE, None)
+    txt = lowered.as_text()
+    # the (H, W, 3) accumulator input must carry a donation annotation
+    assert ("tf.aliasing_output" in txt) or ("jax.buffer_donor" in txt), \
+        "no donation annotation in lowered progressive_step"
+
+
 def test_non_progressive_no_blend(big_scene):
     state = frame_mod.init_frame_state(CFG)
-    s1, _, _ = frame_mod.progressive_step(
+    s1, img1, _ = frame_mod.progressive_step(
         state, big_scene, jnp.float32(0.0), CFG, 0)
+    del img1  # aliases the donated chain; not inspected here
     s2, img2, _ = frame_mod.progressive_step(
         s1, big_scene, jnp.float32(0.0), CFG, 0)
     f1, _ = render_frame(big_scene, CFG, jnp.int32(1))

@@ -59,7 +59,8 @@ def scene_for_frame(scene: Scene, time, flags: int) -> Scene:
     return scene
 
 
-@partial(jax.jit, static_argnames=("cfg", "flags", "render_fn"))
+@partial(jax.jit, static_argnames=("cfg", "flags", "render_fn"),
+         donate_argnums=(0,))
 def progressive_step(state: FrameState, scene: Scene, time,
                      cfg: RenderConfig, flags: int = FLAG_PROGRESSIVE,
                      render_fn: Optional[Callable] = None):
@@ -68,6 +69,17 @@ def progressive_step(state: FrameState, scene: Scene, time,
 
     `render_fn(scene, cfg, frame) -> (img, raycount)` defaults to the jnp
     wavefront renderer; the Pallas and sharded renderers slot in here.
+
+    The incoming FrameState is DONATED: XLA blends in place, reusing the
+    previous accumulator's HBM for the new one -- the TPU analog of the
+    reference GPU port's ping-pong SRV/UAV texture pair
+    (TestWin.cpp:285-297).  Consequences callers must respect (asserted
+    in tests/test_wavefront.py::test_progressive_step_donation):
+      * the passed-in state is dead after the call (RenderSession
+        replaces it unconditionally);
+      * the returned image aliases new_state.accum -- materialize it
+        (np.asarray) before the NEXT step if you keep it (the CLI/viewer
+        encode to PNG immediately, which does exactly that).
     """
     if render_fn is None:
         render_fn = wavefront.render_frame
