@@ -28,6 +28,28 @@ def test_pallas_matches_jnp_bitexact(big_scene):
     np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
 
 
+def test_pallas_stats_instrumentation(big_scene):
+    """The occupancy-instrumented kernel (tools/occupancy.py) must render
+    the identical image/rays and report consistent counters: per-tile
+    work <= iters * lanes (occupancy <= 1), iters bounded by the loop's
+    exact per-lane cap spp*max_depth (+1 for the peeled iteration), and
+    work at least the primary-ray demand (every sample bounces >= once)."""
+    from toypathtracer_tpu.ops.pallas_render import render_frame_pallas_stats
+    img_p, rc_p = render_frame_pallas(big_scene, CFG, jnp.int32(3),
+                                      interpret=True)
+    img_s, rc_s, it, wk = render_frame_pallas_stats(
+        big_scene, CFG, jnp.int32(3), interpret=True)
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_s))
+    assert int(rc_p) == int(rc_s)
+    it = np.asarray(it)
+    wk = np.asarray(wk)
+    lanes = CFG.tile_h * CFG.tile_w
+    spp = CFG.samples_per_pixel
+    assert (it >= 1).all() and (it <= spp * CFG.max_depth + 1).all()
+    assert (wk <= it.astype(np.int64) * lanes).all()
+    assert (wk >= spp * lanes).all()  # every lane starts spp samples
+
+
 def test_pallas_tile_offsets(big_scene):
     """A sub-image rendered with offsets must match the corresponding
     slice of the full frame (the contract the row-sharded path relies

@@ -136,7 +136,8 @@ class CachedScenePort(tc.ScenePort):
 
 def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids,
                    scene_ref, cam_ref, dyn_ref,
-                   r_ref, g_ref, b_ref, cnt_ref):
+                   r_ref, g_ref, b_ref, cnt_ref,
+                   it_ref=None, wk_ref=None):
     """Kernel body for one pixel tile.  dyn_ref (SMEM int32): [frame,
     x_off, y_off, x_end, y_end] -- the offsets place this pallas_call's
     sub-image in the global pixel grid (used by the row-sharded multi-chip
@@ -171,8 +172,16 @@ def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids,
         g_ref[:] = g_ref[:] + jnp.where(finished, col[1], 0.0)
         b_ref[:] = b_ref[:] + jnp.where(finished, col[2], 0.0)
 
-    _, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
-                                 flush=flush)
+    if it_ref is not None:
+        # occupancy instrumentation (tools/occupancy.py): per-tile loop
+        # trips + live-lane work, deterministic (see render_pixels_fused)
+        _, raycnt, (iters, work) = tc.render_pixels_fused(
+            port, cfg, cam, xx, yy, dyn_ref[0], flush=flush, stats=True)
+        it_ref[pl.program_id(0), pl.program_id(1)] = iters
+        wk_ref[pl.program_id(0), pl.program_id(1)] = work
+    else:
+        _, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
+                                     flush=flush)
     inv_spp = jnp.float32(1.0 / cfg.samples_per_pixel)
     r_ref[:] = r_ref[:] * inv_spp
     g_ref[:] = g_ref[:] * inv_spp
@@ -246,6 +255,47 @@ def render_tile_pallas(scene: Scene, cfg: RenderConfig, frame, x0, y0,
     if pad_h or pad_w:
         img = img[:, :height, :width]
     return img, jnp.sum(cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def render_frame_pallas_stats(scene: Scene, cfg: RenderConfig, frame,
+                              interpret: bool = False):
+    """Instrumented full-frame render: identical image/rays to
+    render_frame_pallas (asserted in tests/test_pallas.py) plus per-tile
+    (iters, work) occupancy counters -- deterministic, so the bench
+    claims they support are noise-free (tools/occupancy.py).
+
+    Returns ((H, W, 3) f32, rays, iters (gh, gw) i32, work (gh, gw) i32);
+    occupancy of a tile = work / (iters * tile_h * tile_w)."""
+    tile_h, tile_w = cfg.tile_h, cfg.tile_w
+    height, width = cfg.height, cfg.width
+    pad_h = -height % tile_h
+    pad_w = -width % tile_w
+    height_p, width_p = height + pad_h, width + pad_w
+    gh, gw = height_p // tile_h, width_p // tile_w
+
+    packed = pack_scene(scene)
+    cam = camera_to_array(make_camera(scene.camera, cfg.width / cfg.height))
+    dyn = jnp.stack([jnp.asarray(frame, jnp.int32), jnp.int32(0),
+                     jnp.int32(0), jnp.int32(width), jnp.int32(height)])
+
+    kernel = functools.partial(_render_kernel, cfg, scene.mat_type,
+                               scene.emissive_ids)
+    plane = jax.ShapeDtypeStruct((height_p, width_p), jnp.float32)
+    grid_i32 = jax.ShapeDtypeStruct((gh, gw), jnp.int32)
+    plane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    r, g, b, cnt, it, wk = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=[smem, smem, smem],
+        out_shape=(plane, plane, plane, grid_i32, grid_i32, grid_i32),
+        out_specs=(plane_spec, plane_spec, plane_spec, smem, smem, smem),
+        interpret=interpret,
+    )(packed, cam, dyn)
+    img = jnp.stack([r, g, b])[:, :height, :width]
+    return jnp.transpose(img, (1, 2, 0)), jnp.sum(cnt), it, wk
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

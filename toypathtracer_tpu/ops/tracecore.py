@@ -1478,7 +1478,8 @@ def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
 
 def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
                         frame, samplers: Samplers = GPU_SAMPLERS,
-                        flush=None, skip_empty: bool = None):
+                        flush=None, skip_empty: bool = None,
+                        stats: bool = False):
     """Persistent-wavefront form: ONE while loop where a lane starts its
     next camera sample the moment its current ray terminates (miss, absorb,
     or depth cutoff).
@@ -1508,6 +1509,13 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     register spills are the measured bottleneck at the production tile
     size) and the returned color is None.  Flush order/masks are identical
     to the carried form, so accumulated values match bit-for-bit.
+
+    stats=True appends a third result `(iters, work)`: loop trip count and
+    the summed live-lane count across iterations, both deterministic
+    scalars (int32).  occupancy = work / (iters * lanes) -- the measured
+    replacement for the paper occupancy estimate (docs/PERFORMANCE.md).
+    Costs one scalar add + lane reduction per iteration; opt-in so the
+    production path carries nothing extra.
     """
     if skip_empty is None:
         skip_empty = _SKIP_EMPTY
@@ -1542,18 +1550,24 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         carry0 = (zero3, zero3, zero3, zero3, zero3, state0, zero_i, zero_i)
     else:
         carry0 = (zero3, zero3, zero3, zero3, state0, zero_i, zero_i)
+    if stats:
+        # live-lane work counter (scalar; derived from state0 like the
+        # other inits so shard_map carry typing holds)
+        carry0 = carry0 + (jnp.sum(zero_i),)
 
     max_iters = spp * cfg.max_depth  # exact per-lane upper bound
 
     def cond(dc):
         d, c = dc
-        ls = c[-1]
+        ls = c[-2] if stats else c[-1]
         started = ls >> B_START
         has_work = jnp.max((ls & 1) + (started < spp).astype(i32)) > 0
         return (d < max_iters) & has_work
 
     def body(dc):
         d, c = dc
+        if stats:
+            c, work = c[:-1], c[-1]
         if flush is None:
             (ro, rd, col, col_sum, atten, state, raycnt, ls) = c
         else:
@@ -1579,6 +1593,8 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         depth = jnp.where(needs, depth * 0, depth)
         started = started + needs.astype(i32)
         alive = alive | needs
+        if stats:
+            work = work + jnp.sum(alive.astype(i32))
 
         # --- one bounce for every live lane (whole-tile branch skipping:
         # forward-only path, placeholder values never selected)
@@ -1601,9 +1617,13 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
                 jnp.where(finished, col_sum[1] + col[1], col_sum[1]),
                 jnp.where(finished, col_sum[2] + col[2], col_sum[2]),
             )
-            return d + 1, (ro, rd, col, col_sum, atten, state, raycnt, ls)
-        flush(finished, col)
-        return d + 1, (ro, rd, col, atten, state, raycnt, ls)
+            out = (ro, rd, col, col_sum, atten, state, raycnt, ls)
+        else:
+            flush(finished, col)
+            out = (ro, rd, col, atten, state, raycnt, ls)
+        if stats:
+            out = out + (work,)
+        return d + 1, out
 
     # Peel the first iteration: Mosaic infers *replicated* vector layouts
     # for the splat-zero carry inits and then cannot relayout the body's
@@ -1612,11 +1632,16 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     # outside the loop makes every carry slot a computed value; it is
     # semantically free -- the first iteration always has work (all lanes
     # start sample 0).
-    _, carry = jax.lax.while_loop(cond, body, body((jnp.int32(0), carry0)))
+    d_fin, carry = jax.lax.while_loop(cond, body,
+                                      body((jnp.int32(0), carry0)))
     if flush is None:
         col_sum, raycnt = carry[3], carry[6]
-        return scale3(col_sum, jnp.float32(1.0 / spp)), raycnt
-    return None, carry[5]
+        col = scale3(col_sum, jnp.float32(1.0 / spp))
+    else:
+        col, raycnt = None, carry[5]
+    if stats:
+        return col, raycnt, (d_fin, carry[-1])
+    return col, raycnt
 
 
 def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
