@@ -89,6 +89,29 @@ def test_grad_kernel_multi_tile_and_padding(small_scene):
     assert int(rays) == int(ref_rays)
 
 
+def test_grad_kernel_with_soft_silhouette(small_scene, cotangent):
+    """soft_silhouette_eps > 0 adds the two-sided silhouette + NEE
+    shadow-boundary estimators to the differentiable path; the in-kernel
+    vjp must reproduce jax.grad of the jnp path with them enabled (the
+    inverse-rendering geometry/motion configuration)."""
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=2, max_depth=3,
+                       grad_tile_h=8, grad_tile_w=16, tile_h=8, tile_w=16,
+                       soft_silhouette_eps=0.02)
+    g_ref = _jnp_grad(small_scene, cfg, cotangent)
+    _, _, d_packed = render_tile_grad_pallas(
+        small_scene, cfg, jnp.int32(0),
+        jnp.transpose(cotangent, (2, 0, 1)), 0, 0,
+        cfg.height, cfg.width, interpret=True)
+    g_pal = scene_cotangent_from_packed(small_scene, d_packed)
+    _assert_scene_grads_close(g_ref, g_pal)
+    # the soft estimator must actually fire: center grads differ from the
+    # hard-select configuration
+    cfg_hard = cfg.replace(soft_silhouette_eps=0.0)
+    g_hard = _jnp_grad(small_scene, cfg_hard, cotangent)
+    assert np.abs(np.asarray(g_hard.center)
+                  - np.asarray(g_ref.center)).max() > 0
+
+
 def test_custom_vjp_entry_point(small_scene, cfg, cotangent):
     """render_frame_pallas_diff: primal == fused forward kernel, backward
     == the gradient kernel (drop-in for the inverse-rendering loss)."""
