@@ -38,9 +38,16 @@ def main():
     ap.add_argument("--height", type=int, default=32)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); the axon "
+                         "sitecustomize ignores the env var")
+    ap.add_argument("--json", default=None,
+                    help="also write the results to this path")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from toypathtracer_tpu import FLAG_ANIMATE, RenderConfig, make_scene
     from toypathtracer_tpu.render.frame import scene_for_frame
@@ -77,6 +84,24 @@ def main():
     print(f"  FD (expected image): {g_fd:+.6e}")
     print(f"  AD soft (two-sided): {g_ad:+.6e}  rel-err {rel:.3f}")
     print(f"  AD hard (shading)  : {g_ad_hard:+.6e}  rel-err {rel_hard:.3f}")
+    if args.json:
+        import json
+        os.makedirs("build", exist_ok=True)
+        with open(args.json, "w") as fh:
+            json.dump({
+                "config": {"width": args.width, "height": args.height,
+                           "spp": args.spp, "depth": args.depth,
+                           "frames": args.frames, "t": args.t,
+                           "eps_t": e, "soft_eps": args.soft_eps},
+                "fd_expected_image": g_fd,
+                "ad_soft_two_sided": g_ad,
+                "ad_hard_shading_only": g_ad_hard,
+                "rel_err_soft": rel,
+                "rel_err_hard": rel_hard,
+                "seconds": round(dt, 1),
+            }, fh, indent=1)
+            fh.write("\n")
+        print("wrote", args.json)
 
 
 if __name__ == "__main__":
