@@ -28,28 +28,49 @@ def test_motion_gradient_finite_and_nonzero(big_scene):
     assert g != 0.0
 
 
-def test_motion_gradient_is_shading_only():
-    """KNOWN LIMITATION, asserted so a future fix flips this test: the
-    straight-through gradients differentiate only the *shading* component
-    of motion; the *visibility* component (silhouettes sweeping pixels as
-    spheres move) is a step function that select-based AD cannot see.
-    Measured here: FD (captures both) is orders of magnitude larger than
-    AD (shading only) for the big scene's animated spheres.  Proper
-    visibility gradients need edge sampling / reparameterized estimators
-    (SURVEY.md section 7 hard parts) -- when implemented, AD should come
-    within tens of percent of FD and this test must be rewritten."""
+def test_motion_ad_matches_fd_with_soft_visibility():
+    """d(image)/dt of the reference animation (spheres 1 and 8 moving,
+    Test.cpp:304-308) via AD with the two-sided soft-silhouette + NEE
+    shadow-boundary estimators, against central finite differences of the
+    EXPECTED image.  This is the round-1 "shading-only" known-limitation
+    test rewritten as required: with soft_silhouette_eps > 0 the AD
+    gradient carries the visibility-boundary terms and lands within tens
+    of percent of FD.
+
+    Method: FD of a fixed-seed stochastic render is dominated by discrete
+    per-sample branch flips, so both sides average over F independent
+    RNG streams (frame indices).  All quantities are deterministic (fixed
+    seeds, fixed frame set) -- the measured rel-err at this exact config
+    is 0.288 (and 0.262 with F=48/eps=0.02; depth-4/F=48 measures 0.266,
+    see tools/measure_motion_grad.py); the gate below is margin over
+    cross-version float drift, not over randomness.  The hard estimator
+    at this config leaves AD at roughly HALF of FD (visibility missing);
+    0.40 cleanly separates fixed from broken."""
     from toypathtracer_tpu.scene import make_scene
     big_scene = make_scene(big=True)
-    f = jax.jit(lambda t: _image_mean_at(big_scene, t))
-    g_ad = float(jax.jit(jax.grad(
-        lambda t: _image_mean_at(big_scene, t)))(jnp.float32(0.7)))
-    eps = 1e-2
-    g_fd = (float(f(jnp.float32(0.7 + eps))) -
-            float(f(jnp.float32(0.7 - eps)))) / (2 * eps)
-    assert np.isfinite(g_ad) and np.isfinite(g_fd)
-    # AD sees a real (nonzero) shading gradient but misses visibility:
-    assert g_ad != 0.0
-    assert abs(g_ad) < abs(g_fd)
+    cfg = RenderConfig(width=96, height=32, samples_per_pixel=2,
+                       max_depth=2, soft_silhouette_eps=0.02)
+    t_at, eps_t, frames = 0.7, 0.05, 32
+
+    def mean_img(t, f):
+        s = scene_for_frame(big_scene, t, FLAG_ANIMATE)
+        img, _ = render_frame(s, cfg, f, differentiable=True)
+        return jnp.mean(img)
+
+    f_jit = jax.jit(mean_img)
+    g_jit = jax.jit(jax.grad(mean_img))
+    ad, fp, fm = 0.0, 0.0, 0.0
+    for fr in range(frames):
+        fi = jnp.int32(fr)
+        ad += float(g_jit(jnp.float32(t_at), fi))
+        fp += float(f_jit(jnp.float32(t_at + eps_t), fi))
+        fm += float(f_jit(jnp.float32(t_at - eps_t), fi))
+    ad /= frames
+    fd = (fp - fm) / (2 * eps_t * frames)
+    assert np.isfinite(ad) and np.isfinite(fd)
+    assert np.sign(ad) == np.sign(fd)
+    rel = abs(ad - fd) / abs(fd)
+    assert rel < 0.40, f"AD {ad:+.4e} vs FD {fd:+.4e}: rel err {rel:.3f}"
 
 
 def test_animated_sequence_per_frame_fwd_bwd(big_scene):

@@ -36,6 +36,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_toypt"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
