@@ -52,6 +52,9 @@ def main():
     if tile:
         th, tw = (int(x) for x in tile.split(","))
         cfg = cfg.replace(tile_h=th, tile_w=tw)
+    ppl = os.environ.get("BENCH_PPL")  # pixels per lane (tuning runs)
+    if ppl:
+        cfg = cfg.replace(pix_per_lane=int(ppl))
     scene = tpt.make_scene(big=True)
 
     if backend == "pallas":

@@ -90,3 +90,35 @@ def test_arbitrary_size_pad_and_crop(big_scene):
     assert img_p.shape == (12, 100, 3)
     assert int(rc_j) == int(rc_p)
     np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
+
+
+def test_pix_per_lane_bit_identical(big_scene):
+    """pix_per_lane (K > 1): each lane owns K pixels of its tile column
+    (occupancy-tail optimization, docs/PERFORMANCE.md) -- the image and
+    ray count must be BIT-IDENTICAL to K=1 for any K, because every
+    pixel keeps its own RNG stream and in-order sample accumulation.
+    Covers K=2 on the default 16-row tile and K=3 on a 24-row tile
+    (720 = 30 x 24, the production K=3 shape)."""
+    cfg1 = RenderConfig(width=128, height=48, samples_per_pixel=2,
+                        max_depth=6, tile_h=16, tile_w=128)
+    a, ra = render_frame_pallas(big_scene, cfg1, jnp.int32(5),
+                                interpret=True)
+    for cfg in (cfg1.replace(pix_per_lane=2),
+                cfg1.replace(tile_h=24, pix_per_lane=3)):
+        b, rb = render_frame_pallas(big_scene, cfg, jnp.int32(5),
+                                    interpret=True)
+        assert int(ra) == int(rb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pix_per_lane_padding_falls_back(big_scene):
+    """A padded sub-image cannot split a K-pixel lane's ray counter, so
+    the renderer must fall back to K=1 there -- still bit-identical and
+    count-exact vs jnp."""
+    cfg = RenderConfig(width=100, height=12, samples_per_pixel=1,
+                       max_depth=4, tile_h=8, tile_w=128, pix_per_lane=2)
+    img_j, rc_j = render_frame(big_scene, cfg, jnp.int32(2))
+    img_p, rc_p = render_frame_pallas(big_scene, cfg, jnp.int32(2),
+                                      interpret=True)
+    assert int(rc_j) == int(rc_p)
+    np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))

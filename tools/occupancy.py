@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--frame", type=int, default=0)
+    ap.add_argument("--ppl", type=int, default=1,
+                    help="pixels per lane (RenderConfig.pix_per_lane)")
+    ap.add_argument("--tile", default=None,
+                    help="tile_h,tile_w override, e.g. 16,128")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -46,20 +50,28 @@ def main():
     from toypathtracer_tpu.ops.pallas_render import render_frame_pallas_stats
 
     cfg = tpt.RenderConfig(width=args.width, height=args.height,
-                           samples_per_pixel=args.spp, max_depth=args.depth)
+                           samples_per_pixel=args.spp, max_depth=args.depth,
+                           pix_per_lane=args.ppl)
+    if args.tile:
+        th, tw = (int(x) for x in args.tile.split(","))
+        cfg = cfg.replace(tile_h=th, tile_w=tw)
     scene = tpt.make_scene(big=True)
     img, rays, it, wk = render_frame_pallas_stats(
         scene, cfg, jnp.int32(args.frame), interpret=args.interpret)
     it = np.asarray(it).astype(np.int64)
     wk = np.asarray(wk).astype(np.int64)
-    lanes = cfg.tile_h * cfg.tile_w
+    from toypathtracer_tpu.ops.pallas_render import _resolve_pix_per_lane
+    ppl = _resolve_pix_per_lane(cfg, -cfg.height % cfg.tile_h,
+                                -cfg.width % cfg.tile_w)
+    lanes = (cfg.tile_h // ppl) * cfg.tile_w
     occ = wk / np.maximum(it * lanes, 1)
     ideal_iters = np.ceil(wk / lanes)
     out = {
         "device": str(jax.devices()[0]),
         "config": {"width": cfg.width, "height": cfg.height,
                    "spp": cfg.samples_per_pixel, "depth": cfg.max_depth,
-                   "tile": [cfg.tile_h, cfg.tile_w]},
+                   "tile": [cfg.tile_h, cfg.tile_w],
+                   "pix_per_lane": ppl},
         "rays": int(rays),
         "tiles": int(it.size),
         "iters": {"sum": int(it.sum()), "mean": float(it.mean()),

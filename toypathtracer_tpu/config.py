@@ -53,6 +53,18 @@ class RenderConfig:
     # renderer.
     tile_h: int = 16   # Pallas pixel-tile height
     tile_w: int = 128  # Pallas pixel-tile width
+    # Pixels per lane (K): each wavefront lane owns K pixels of its tile
+    # column, tile_h/K rows apart, and walks them slot by slot.  K > 1
+    # narrows the per-lane demand distribution (a pixel's spp samples are
+    # depth-correlated; summing K decorrelated pixels shrinks the tile's
+    # slowest-lane tail, measured 2.27x the ideal trip count at K=1) and
+    # shrinks the loop's vector registers (lane block is (tile_h/K,
+    # tile_w)).  The image is bit-identical for any K (per-pixel RNG
+    # streams and accumulation order are mapping-invariant).  Constraints:
+    # tile_h % K == 0 and (tile_h/K) % 8 == 0; the Pallas renderer falls
+    # back to K=1 for calls whose sub-image needs tile padding (per-lane
+    # ray counts would mix visible and padded pixels).
+    pix_per_lane: int = 1
     # Gradient-kernel tile (ops/pallas_grad.py): the in-kernel vjp holds
     # per-depth carry snapshots in VMEM, so its tiles are smaller than the
     # forward kernel's.
@@ -69,18 +81,22 @@ class RenderConfig:
     soft_silhouette_eps: float = 0.0
 
     def __post_init__(self):
-        # The fused wavefront loop bit-packs per-lane bounce depth into 8
-        # bits and samples-started into bits 10..31 of one int32
-        # (tracecore.render_pixels_fused); out-of-range values would
-        # silently corrupt lane state instead of erroring.
+        # The fused wavefront loop bit-packs per-lane bounce depth into
+        # bits 2-9, samples-started into bits 10-17, and pixel slot into
+        # bits 18-25 of one int32 (tracecore.render_pixels_fused);
+        # out-of-range values would silently corrupt lane state instead
+        # of erroring.
         if not (1 <= self.max_depth <= 255):
             raise ValueError(f"max_depth must be in [1, 255], "
                              f"got {self.max_depth}")
-        if not (1 <= self.samples_per_pixel <= (1 << 21)):
-            raise ValueError(f"samples_per_pixel must be in [1, 2^21], "
+        if not (1 <= self.samples_per_pixel <= 255):
+            raise ValueError(f"samples_per_pixel must be in [1, 255], "
                              f"got {self.samples_per_pixel}")
         if self.width < 1 or self.height < 1:
             raise ValueError(f"bad resolution {self.width}x{self.height}")
+        if not (1 <= self.pix_per_lane <= 63):
+            raise ValueError(f"pix_per_lane must be in [1, 63], "
+                             f"got {self.pix_per_lane}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

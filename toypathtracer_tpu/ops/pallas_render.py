@@ -134,19 +134,38 @@ class CachedScenePort(tc.ScenePort):
         return self._mats[i]
 
 
-def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids,
+def _resolve_pix_per_lane(cfg: RenderConfig, pad_h: int, pad_w: int) -> int:
+    """Static K for this call.  Falls back to 1 when the sub-image needs
+    tile padding (a K-pixel lane's ray counter cannot split visible from
+    padded pixels) or when the tile cannot host K aligned row bands
+    (lane_h must be a multiple of the 8-row f32 sublane)."""
+    k = cfg.pix_per_lane
+    if k <= 1 or pad_h or pad_w:
+        return 1
+    if cfg.tile_h % k or (cfg.tile_h // k) % 8:
+        return 1
+    return k
+
+
+def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids, pix_per_lane,
                    scene_ref, cam_ref, dyn_ref,
                    r_ref, g_ref, b_ref, cnt_ref,
                    it_ref=None, wk_ref=None):
     """Kernel body for one pixel tile.  dyn_ref (SMEM int32): [frame,
     x_off, y_off, x_end, y_end] -- the offsets place this pallas_call's
     sub-image in the global pixel grid (used by the row-sharded multi-chip
-    path); x_end/y_end bound the logical (unpadded) sub-image."""
+    path); x_end/y_end bound the logical (unpadded) sub-image.
+
+    pix_per_lane=K > 1: the wavefront runs on a (tile_h/K, tile_w) lane
+    block; lane (r, c) owns the K pixels (r + k*tile_h/K, c) of this
+    tile and the flush writes each finished sample into its slot's row
+    band (see tracecore.render_pixels_fused n_slots)."""
     tile_h, tile_w = r_ref.shape
+    lane_h = tile_h // pix_per_lane
     y0 = dyn_ref[2] + pl.program_id(0) * tile_h
     x0 = dyn_ref[1] + pl.program_id(1) * tile_w
-    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (lane_h, tile_w), 0)
+    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (lane_h, tile_w), 1)
 
     port = SmemScenePort(scene_ref, mat_type, emissive_ids)
     if _CACHE_SCENE:
@@ -167,21 +186,38 @@ def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids,
     g_ref[:] = zero_tile
     b_ref[:] = zero_tile
 
-    def flush(finished, col):
-        r_ref[:] = r_ref[:] + jnp.where(finished, col[0], 0.0)
-        g_ref[:] = g_ref[:] + jnp.where(finished, col[1], 0.0)
-        b_ref[:] = b_ref[:] + jnp.where(finished, col[2], 0.0)
+    if pix_per_lane == 1:
+        def flush(finished, col):
+            r_ref[:] = r_ref[:] + jnp.where(finished, col[0], 0.0)
+            g_ref[:] = g_ref[:] + jnp.where(finished, col[1], 0.0)
+            b_ref[:] = b_ref[:] + jnp.where(finished, col[2], 0.0)
+    else:
+        def flush(finished, col, slot):
+            # one masked add per slot's row band (static slices; slot is
+            # a per-lane vector, so each band takes the lanes currently
+            # working that band's pixel)
+            for k in range(pix_per_lane):
+                sel = finished & (slot == k)
+                lo, hi = k * lane_h, (k + 1) * lane_h
+                r_ref[lo:hi] = r_ref[lo:hi] + jnp.where(sel, col[0], 0.0)
+                g_ref[lo:hi] = g_ref[lo:hi] + jnp.where(sel, col[1], 0.0)
+                b_ref[lo:hi] = b_ref[lo:hi] + jnp.where(sel, col[2], 0.0)
 
     if it_ref is not None:
         # occupancy instrumentation (tools/occupancy.py): per-tile loop
         # trips + live-lane work, deterministic (see render_pixels_fused)
         _, raycnt, (iters, work) = tc.render_pixels_fused(
-            port, cfg, cam, xx, yy, dyn_ref[0], flush=flush, stats=True)
+            port, cfg, cam, xx, yy, dyn_ref[0], flush=flush, stats=True,
+            n_slots=pix_per_lane, slot_dy=lane_h)
         it_ref[pl.program_id(0), pl.program_id(1)] = iters
         wk_ref[pl.program_id(0), pl.program_id(1)] = work
-    else:
+    elif pix_per_lane == 1:
         _, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
                                      flush=flush)
+    else:
+        _, raycnt = tc.render_pixels_fused(
+            port, cfg, cam, xx, yy, dyn_ref[0], flush=flush,
+            n_slots=pix_per_lane, slot_dy=lane_h)
     inv_spp = jnp.float32(1.0 / cfg.samples_per_pixel)
     r_ref[:] = r_ref[:] * inv_spp
     g_ref[:] = g_ref[:] * inv_spp
@@ -215,6 +251,7 @@ def render_tile_pallas(scene: Scene, cfg: RenderConfig, frame, x0, y0,
     pad_w = -width % tile_w
     height_p, width_p = height + pad_h, width + pad_w
     gh, gw = height_p // tile_h, width_p // tile_w
+    ppl = _resolve_pix_per_lane(cfg, pad_h, pad_w)
 
     packed = pack_scene(scene)
     cam = camera_to_array(make_camera(scene.camera, cfg.width / cfg.height))
@@ -229,7 +266,7 @@ def render_tile_pallas(scene: Scene, cfg: RenderConfig, frame, x0, y0,
     ])
 
     kernel = functools.partial(_render_kernel, cfg, scene.mat_type,
-                               scene.emissive_ids)
+                               scene.emissive_ids, ppl)
     plane = jax.ShapeDtypeStruct((height_p, width_p), jnp.float32)
     plane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
@@ -280,7 +317,8 @@ def render_frame_pallas_stats(scene: Scene, cfg: RenderConfig, frame,
                      jnp.int32(0), jnp.int32(width), jnp.int32(height)])
 
     kernel = functools.partial(_render_kernel, cfg, scene.mat_type,
-                               scene.emissive_ids)
+                               scene.emissive_ids,
+                               _resolve_pix_per_lane(cfg, pad_h, pad_w))
     plane = jax.ShapeDtypeStruct((height_p, width_p), jnp.float32)
     grid_i32 = jax.ShapeDtypeStruct((gh, gw), jnp.int32)
     plane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),

@@ -1479,7 +1479,8 @@ def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
 def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
                         frame, samplers: Samplers = GPU_SAMPLERS,
                         flush=None, skip_empty: bool = None,
-                        stats: bool = False):
+                        stats: bool = False,
+                        n_slots: int = 1, slot_dy: int = 0):
     """Persistent-wavefront form: ONE while loop where a lane starts its
     next camera sample the moment its current ray terminates (miss, absorb,
     or depth cutoff).
@@ -1516,7 +1517,25 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     replacement for the paper occupancy estimate (docs/PERFORMANCE.md).
     Costs one scalar add + lane reduction per iteration; opt-in so the
     production path carries nothing extra.
+
+    n_slots=K > 1: each lane owns K pixels -- its own (px, py) plus the
+    K-1 pixels at py + k*slot_dy -- and walks them slot by slot (all spp
+    samples of slot 0, then slot 1, ...).  Motivation: a pixel's samples
+    are strongly depth-correlated (a glass pixel bounces deep for ALL its
+    samples), so the per-lane demand `sum of spp sample depths` has a
+    heavy tail and the tile's while loop runs to its slowest lane --
+    measured 2.27x the per-lane-demand lower bound at 720p/4spp/depth10
+    (build/occupancy.json).  Summing K decorrelated pixels per lane
+    narrows the demand distribution; the tile tail shrinks with no
+    scatter (each pixel still lives on exactly one lane).  Per-pixel
+    values are BIT-IDENTICAL to n_slots=1: every pixel keeps its own RNG
+    stream (fresh seed at each slot switch), its samples run in order on
+    one lane, and flush hands the slot index along so the caller
+    accumulates into the right row band.  Requires flush (the K-pixel
+    sums live in the caller's accumulator, keyed by slot).
     """
+    assert n_slots == 1 or flush is not None, \
+        "n_slots > 1 needs a flush callback (per-slot accumulation)"
     if skip_empty is None:
         skip_empty = _SKIP_EMPTY
     shape = jnp.shape(px)
@@ -1536,14 +1555,15 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     zero_f = zero_i.astype(f32)
     zero3 = (zero_f, zero_f, zero_f)
     # Per-lane control state BIT-PACKED into one int32 -- bit 0: alive,
-    # bit 1: do_me, bits 2-9: bounce depth, bits 10-17: samples started.
+    # bit 1: do_me, bits 2-9: bounce depth, bits 10-17: samples started
+    # (within the current slot), bits 18-25: pixel slot (n_slots > 1).
     # One carried vector instead of four: at a (24,256) tile each carried
     # array costs 6 vector registers across the whole while loop, and
     # spills are the measured bottleneck (the tile sweep shows a cliff,
     # not a slope, past the register budget).  Pack/unpack is ~10 cheap
     # int ops per iteration.  Masks/counters are exact either way, so
     # pixel output is unchanged.
-    B_DEPTH, B_START = 2, 10
+    B_DEPTH, B_START, B_SLOT = 2, 10, 18
     # carry: ro rd col [col_sum] atten (vec3 each), state, raycnt, lane_state
     # (col_sum is carried only when no flush callback owns the accumulator)
     if flush is None:
@@ -1555,13 +1575,15 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         # other inits so shard_map carry typing holds)
         carry0 = carry0 + (jnp.sum(zero_i),)
 
-    max_iters = spp * cfg.max_depth  # exact per-lane upper bound
+    max_iters = n_slots * spp * cfg.max_depth  # exact per-lane upper bound
 
     def cond(dc):
         d, c = dc
         ls = c[-2] if stats else c[-1]
-        started = ls >> B_START
-        has_work = jnp.max((ls & 1) + (started < spp).astype(i32)) > 0
+        started = (ls >> B_START) & 0xFF
+        slot = ls >> B_SLOT
+        undone = (started < spp) | (slot < n_slots - 1)
+        has_work = jnp.max((ls & 1) + undone.astype(i32)) > 0
         return (d < max_iters) & has_work
 
     def body(dc):
@@ -1575,14 +1597,29 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         alive = (ls & 1) != 0
         do_me = (ls & 2) != 0
         depth = (ls >> B_DEPTH) & 0xFF
-        started = ls >> B_START
+        started = (ls >> B_START) & 0xFF
+        slot = ls >> B_SLOT
 
-        # --- refill: dead lanes with samples remaining start a new ray
-        needs = (~alive) & (started < spp)
+        # --- refill: dead lanes with samples remaining start a new ray;
+        # a lane whose slot is exhausted advances to its next pixel and
+        # reseeds there (fresh per-pixel stream -- the same seed that
+        # pixel gets at n_slots=1, so values are mapping-invariant).
+        exhausted = started >= spp
+        needs = (~alive) & ((~exhausted) | (slot < n_slots - 1))
+        if n_slots > 1:
+            slot_adv = needs & exhausted
+            slot = slot + slot_adv.astype(i32)
+            started = jnp.where(slot_adv, 0, started)
+            fy_cur = (py + slot * slot_dy).astype(f32)
+            state = jnp.where(slot_adv,
+                              seed_pixels(px, py + slot * slot_dy, frame),
+                              state)
+        else:
+            fy_cur = fy
         st2, ur = rand01(state)
         u = (fx + ur) * inv_w
         st2, vr = rand01(st2)
-        v = (fy + vr) * inv_h
+        v = (fy_cur + vr) * inv_h
         st2, ro_n, rd_n = camera_get_ray(cam, u, v, st2, samplers)
         state = jnp.where(needs, st2, state)       # gated RNG consumption
         ro = sel3(needs, ro_n, ro)
@@ -1610,7 +1647,8 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         # --- flush finished samples into the per-pixel sum
         finished = alive & ~new_alive
         ls = (new_alive.astype(i32) | (do_me.astype(i32) << 1)
-              | (depth << B_DEPTH) | (started << B_START))
+              | (depth << B_DEPTH) | (started << B_START)
+              | (slot << B_SLOT))
         if flush is None:
             col_sum = (
                 jnp.where(finished, col_sum[0] + col[0], col_sum[0]),
@@ -1619,7 +1657,10 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
             )
             out = (ro, rd, col, col_sum, atten, state, raycnt, ls)
         else:
-            flush(finished, col)
+            if n_slots > 1:
+                flush(finished, col, slot)
+            else:
+                flush(finished, col)
             out = (ro, rd, col, atten, state, raycnt, ls)
         if stats:
             out = out + (work,)
