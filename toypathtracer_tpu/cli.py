@@ -91,6 +91,11 @@ def main(argv=None) -> int:
                     help="animate spheres 1 and 8 (kFlagAnimate)")
     ap.add_argument("--no-progressive", action="store_true",
                     help="disable progressive accumulation (kFlagProgressive)")
+    ap.add_argument("--tile", default=None, metavar="H,W",
+                    help="Pallas pixel-tile override (default 16,128)")
+    ap.add_argument("--ppl", type=int, default=1, metavar="K",
+                    help="pixels per lane in the Pallas wavefront "
+                         "(occupancy tuning; image is bit-identical)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp", "parity", "sharded"])
     ap.add_argument("--output", default="output.png",
@@ -109,7 +114,11 @@ def main(argv=None) -> int:
         samples_per_pixel=args.spp, max_depth=args.max_depth,
         do_light_sampling=not args.no_light_sampling,
         do_mitsuba_compare=args.mitsuba_compare,
+        pix_per_lane=args.ppl,
     )
+    if args.tile:
+        th, tw = (int(x) for x in args.tile.split(","))
+        cfg = cfg.replace(tile_h=th, tile_w=tw)
     if args.scaled:
         from .scaled import make_scaled_scene
         if args.animate:
