@@ -1,8 +1,9 @@
 """Tile-size sweep for the Pallas render kernel on real TPU.
 
 Times a short progressive scan at the benchmark workload (720p, 4spp,
-big scene) for several (tile_h, tile_w) shapes and prints Mray/s each.
-Usage: python tools/tile_sweep.py [tile_h,tile_w ...]
+big scene) for several (tile_h, tile_w[, pix_per_lane]) shapes and prints
+Mray/s each.
+Usage: python tools/tile_sweep.py [tile_h,tile_w[,K] ...]
 """
 
 import os
@@ -20,15 +21,18 @@ def main():
     import toypathtracer_tpu as tpt
     from toypathtracer_tpu.ops.pallas_render import render_frame_pallas
 
-    shapes = [(8, 128), (16, 128), (8, 256), (24, 128), (16, 256), (48, 128)]
+    shapes = [(16, 128, 1), (16, 128, 2), (24, 128, 3), (40, 128, 5),
+              (72, 128, 9), (120, 128, 15)]
     if len(sys.argv) > 1:
-        shapes = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
+        shapes = [tuple(int(x) for x in (a + ",1").split(",")[:3])
+                  for a in sys.argv[1:]]
 
     scene = tpt.make_scene(big=True)
     frames = 6
-    for th, tw in shapes:
+    for th, tw, ppl in shapes:
         cfg = tpt.RenderConfig(width=1280, height=720, samples_per_pixel=4,
-                               max_depth=10, tile_h=th, tile_w=tw)
+                               max_depth=10, tile_h=th, tile_w=tw,
+                               pix_per_lane=ppl)
 
         @jax.jit
         def run(scene, cfg=cfg):
@@ -55,12 +59,12 @@ def main():
                 dt = time.perf_counter() - t0
                 total = int(np.asarray(rays).astype(np.int64).sum())
                 mrays.append(total / dt * 1e-6)
-            print(f"tile {th}x{tw}: best {max(mrays):8.1f} Mray/s  "
+            print(f"tile {th}x{tw} K{ppl}: best {max(mrays):8.1f} Mray/s  "
                   f"reps {['%.0f' % m for m in mrays]} "
                   f"(compile {compile_s:.0f}s)", flush=True)
         except Exception as e:
             msg = str(e).split("\n")[0][:120]
-            print(f"tile {th}x{tw}: FAIL {msg}", flush=True)
+            print(f"tile {th}x{tw} K{ppl}: FAIL {msg}", flush=True)
 
 
 if __name__ == "__main__":
