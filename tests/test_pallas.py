@@ -111,14 +111,19 @@ def test_pix_per_lane_bit_identical(big_scene):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_pix_per_lane_padding_falls_back(big_scene):
-    """A padded sub-image cannot split a K-pixel lane's ray counter, so
-    the renderer must fall back to K=1 there -- still bit-identical and
-    count-exact vs jnp."""
-    cfg = RenderConfig(width=100, height=12, samples_per_pixel=1,
-                       max_depth=4, tile_h=8, tile_w=128, pix_per_lane=2)
-    img_j, rc_j = render_frame(big_scene, cfg, jnp.int32(2))
-    img_p, rc_p = render_frame_pallas(big_scene, cfg, jnp.int32(2),
-                                      interpret=True)
-    assert int(rc_j) == int(rc_p)
-    np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
+def test_pix_per_lane_padded_counts_exact(big_scene):
+    """K-pixel lanes under tile padding: the per-lane counter mixes K
+    pixels, so padded pixels are masked out of the ray count PER
+    ITERATION inside the loop (tracecore count_bounds).  Image and ray
+    count must stay bit-identical / exact vs jnp -- both right-edge and
+    bottom-edge padding (the sharded multi-chip sub-images pad)."""
+    for w, h, th, k in ((100, 16, 16, 2), (128, 20, 16, 2),
+                        (100, 20, 16, 2)):
+        cfg = RenderConfig(width=w, height=h, samples_per_pixel=1,
+                           max_depth=4, tile_h=th, tile_w=128,
+                           pix_per_lane=k)
+        img_j, rc_j = render_frame(big_scene, cfg, jnp.int32(2))
+        img_p, rc_p = render_frame_pallas(big_scene, cfg, jnp.int32(2),
+                                          interpret=True)
+        assert int(rc_j) == int(rc_p), (w, h, th, k)
+        np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))

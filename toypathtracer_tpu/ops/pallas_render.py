@@ -135,12 +135,14 @@ class CachedScenePort(tc.ScenePort):
 
 
 def _resolve_pix_per_lane(cfg: RenderConfig, pad_h: int, pad_w: int) -> int:
-    """Static K for this call.  Falls back to 1 when the sub-image needs
-    tile padding (a K-pixel lane's ray counter cannot split visible from
-    padded pixels) or when the tile cannot host K aligned row bands
-    (lane_h must be a multiple of the 8-row f32 sublane)."""
+    """Static K for this call: falls back to 1 when the tile cannot host
+    K aligned row bands (lane_h must be a multiple of the 8-row f32
+    sublane).  Padded sub-images keep K -- the fused loop then masks ray
+    counts per iteration (tracecore count_bounds) because a K-pixel
+    lane's counter mixes K pixels and the end-of-kernel row mask cannot
+    split them."""
     k = cfg.pix_per_lane
-    if k <= 1 or pad_h or pad_w:
+    if k <= 1:
         return 1
     if cfg.tile_h % k or (cfg.tile_h // k) % 8:
         return 1
@@ -148,6 +150,7 @@ def _resolve_pix_per_lane(cfg: RenderConfig, pad_h: int, pad_w: int) -> int:
 
 
 def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids, pix_per_lane,
+                   masked_counts,
                    scene_ref, cam_ref, dyn_ref,
                    r_ref, g_ref, b_ref, cnt_ref,
                    it_ref=None, wk_ref=None):
@@ -203,12 +206,17 @@ def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids, pix_per_lane,
                 g_ref[lo:hi] = g_ref[lo:hi] + jnp.where(sel, col[1], 0.0)
                 b_ref[lo:hi] = b_ref[lo:hi] + jnp.where(sel, col[2], 0.0)
 
+    # K-pixel lanes under tile padding: the per-lane counter mixes K
+    # pixels, so padded pixels are masked out per iteration inside the
+    # loop (count_bounds) instead of by the end-of-kernel row mask.
+    bounds = (dyn_ref[3], dyn_ref[4]) \
+        if (pix_per_lane > 1 and masked_counts) else None
     if it_ref is not None:
         # occupancy instrumentation (tools/occupancy.py): per-tile loop
         # trips + live-lane work, deterministic (see render_pixels_fused)
         _, raycnt, (iters, work) = tc.render_pixels_fused(
             port, cfg, cam, xx, yy, dyn_ref[0], flush=flush, stats=True,
-            n_slots=pix_per_lane, slot_dy=lane_h)
+            n_slots=pix_per_lane, slot_dy=lane_h, count_bounds=bounds)
         it_ref[pl.program_id(0), pl.program_id(1)] = iters
         wk_ref[pl.program_id(0), pl.program_id(1)] = work
     elif pix_per_lane == 1:
@@ -217,7 +225,7 @@ def _render_kernel(cfg: RenderConfig, mat_type, emissive_ids, pix_per_lane,
     else:
         _, raycnt = tc.render_pixels_fused(
             port, cfg, cam, xx, yy, dyn_ref[0], flush=flush,
-            n_slots=pix_per_lane, slot_dy=lane_h)
+            n_slots=pix_per_lane, slot_dy=lane_h, count_bounds=bounds)
     inv_spp = jnp.float32(1.0 / cfg.samples_per_pixel)
     r_ref[:] = r_ref[:] * inv_spp
     g_ref[:] = g_ref[:] * inv_spp
@@ -266,7 +274,8 @@ def render_tile_pallas(scene: Scene, cfg: RenderConfig, frame, x0, y0,
     ])
 
     kernel = functools.partial(_render_kernel, cfg, scene.mat_type,
-                               scene.emissive_ids, ppl)
+                               scene.emissive_ids, ppl,
+                               bool(pad_h or pad_w))
     plane = jax.ShapeDtypeStruct((height_p, width_p), jnp.float32)
     plane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
@@ -318,7 +327,8 @@ def render_frame_pallas_stats(scene: Scene, cfg: RenderConfig, frame,
 
     kernel = functools.partial(_render_kernel, cfg, scene.mat_type,
                                scene.emissive_ids,
-                               _resolve_pix_per_lane(cfg, pad_h, pad_w))
+                               _resolve_pix_per_lane(cfg, pad_h, pad_w),
+                               bool(pad_h or pad_w))
     plane = jax.ShapeDtypeStruct((height_p, width_p), jnp.float32)
     grid_i32 = jax.ShapeDtypeStruct((gh, gw), jnp.int32)
     plane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),

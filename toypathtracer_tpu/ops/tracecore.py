@@ -1480,7 +1480,8 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
                         frame, samplers: Samplers = GPU_SAMPLERS,
                         flush=None, skip_empty: bool = None,
                         stats: bool = False,
-                        n_slots: int = 1, slot_dy: int = 0):
+                        n_slots: int = 1, slot_dy: int = 0,
+                        count_bounds=None):
     """Persistent-wavefront form: ONE while loop where a lane starts its
     next camera sample the moment its current ray terminates (miss, absorb,
     or depth cutoff).
@@ -1533,6 +1534,13 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     one lane, and flush hands the slot index along so the caller
     accumulates into the right row band.  Requires flush (the K-pixel
     sums live in the caller's accumulator, keyed by slot).
+
+    count_bounds=(x_end, y_end) (traced scalars, exclusive GLOBAL pixel
+    bounds): rays of pixels outside the bounds are excluded from the
+    returned count PER ITERATION -- the padded-tile masking a K-pixel
+    lane needs, because its counter mixes K pixels and the caller's
+    end-of-kernel row mask can no longer split them.  ~6 extra VPU ops
+    per iteration; pass None (default) for unpadded calls.
     """
     assert n_slots == 1 or flush is not None, \
         "n_slots > 1 needs a flush callback (per-slot accumulation)"
@@ -1635,10 +1643,18 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
 
         # --- one bounce for every live lane (whole-tile branch skipping:
         # forward-only path, placeholder values never selected)
+        prev_cnt = raycnt
         sub, e, cc = bounce_parts(port, cfg,
                                   (ro, rd, alive, do_me, state, raycnt),
                                   samplers, skip_empty=skip_empty)
         ro, rd, new_alive, do_me, state, raycnt = sub
+        if count_bounds is not None:
+            # padded-pixel masking, per iteration on the CURRENT slot's
+            # pixel (see docstring)
+            x_end, y_end = count_bounds
+            y_cur = py + slot * slot_dy if n_slots > 1 else py
+            vis = (px < x_end) & (y_cur < y_end)
+            raycnt = prev_cnt + jnp.where(vis, raycnt - prev_cnt, 0)
         col = add3(col, mul3(atten, e))
         atten = mul3(atten, cc)
         depth = depth + alive.astype(i32)
