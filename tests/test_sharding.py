@@ -64,6 +64,16 @@ def test_sharded_pallas_matches_single_device_pallas(big_scene, mesh):
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(imgn))
     assert int(rays1) == int(raysn)
 
+    # K-pixel lanes compose with shard_map: each 2-row shard band pads up
+    # to the 16-row tile, so this also exercises the per-iteration
+    # padded-count masking inside shards.  Still bit-identical.
+    cfg_k = CFG.replace(pix_per_lane=2)
+    imgk, raysk = render_frame_sharded_pallas(big_scene, cfg_k,
+                                              jnp.int32(1), mesh,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(imgk))
+    assert int(rays1) == int(raysk)
+
 
 def test_scaled_sharded_matches_single_device(mesh):
     """Config 5: the 100k-sphere (here 2k for test speed) chunked
