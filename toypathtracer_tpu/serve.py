@@ -268,6 +268,8 @@ def main(argv=None) -> int:
                          "(chunked traversal; backend toggle = scaled "
                          "jnp/pallas kernels)")
     ap.add_argument("--animate", action="store_true")
+    ap.add_argument("--ppl", type=int, default=1, metavar="K",
+                    help="pixels per lane in the Pallas wavefront")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp", "parity", "sharded"])
     args = ap.parse_args(argv)
@@ -276,7 +278,8 @@ def main(argv=None) -> int:
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = RenderConfig(width=args.width, height=args.height,
-                       samples_per_pixel=args.spp, max_depth=args.max_depth)
+                       samples_per_pixel=args.spp, max_depth=args.max_depth,
+                       pix_per_lane=args.ppl)
     flags = FLAG_PROGRESSIVE | (FLAG_ANIMATE if args.animate else 0)
     if args.scaled:
         from functools import partial
