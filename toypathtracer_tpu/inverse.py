@@ -99,7 +99,8 @@ def image_l2_tonemapped(img, target):
 
 
 def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
-                loss_fn=image_l2, backend: str = "jnp"):
+                loss_fn=image_l2, backend: str = "jnp",
+                interpret: bool = False):
     """Pixel loss of a differentiable single-frame render against `target`.
 
     backend="pallas" renders AND differentiates through the fused Pallas
@@ -109,7 +110,8 @@ def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
     round-tripping HBM (the 3.8x fwd+bwd cliff of the XLA path)."""
     if backend == "pallas":
         from .ops.pallas_grad import render_frame_pallas_diff
-        img, _ = render_frame_pallas_diff(scene, cfg, frame)
+        img, _ = render_frame_pallas_diff(scene, cfg, frame,
+                                          interpret=interpret)
     else:
         img, _ = wavefront.render_frame(scene, cfg, frame,
                                         differentiable=True)
@@ -203,6 +205,9 @@ class InverseRenderer:
     # "pallas": fused forward + fused in-kernel-vjp backward kernels
     # (ops/pallas_grad.py).  Not combinable with mesh/cameras yet.
     backend: str = "jnp"
+    # interpret=True runs the Pallas kernels in interpret mode (CPU
+    # testing of the backend="pallas" training step; no effect on jnp).
+    interpret: bool = False
 
     def __post_init__(self):
         adam = optax.adam(self.learning_rate, eps=self.adam_eps)
@@ -222,7 +227,8 @@ class InverseRenderer:
         else:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: render_loss(s, t, self.cfg, f,
-                                            self.loss_fn, self.backend))
+                                            self.loss_fn, self.backend,
+                                            self.interpret))
         self._step = jax.jit(self._step_impl)
 
     def _step_impl(self, scene, opt_state, mask, frame):
