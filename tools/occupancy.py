@@ -35,6 +35,8 @@ def main():
                     help="pixels per lane (RenderConfig.pix_per_lane)")
     ap.add_argument("--tile", default=None,
                     help="tile_h,tile_w override, e.g. 16,128")
+    ap.add_argument("--out", default=None,
+                    help="output path (default build/occupancy.json)")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -83,8 +85,9 @@ def main():
         "iters_vs_ideal": float(it.sum() / max(ideal_iters.sum(), 1)),
         "img_mean": float(np.asarray(img).mean()),
     }
-    os.makedirs("build", exist_ok=True)
-    with open(os.path.join("build", "occupancy.json"), "w") as f:
+    path = args.out or os.path.join("build", "occupancy.json")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(json.dumps(out))
