@@ -193,3 +193,19 @@ def test_pallas_shadow_kernel_matches_scan():
     b = pj.lights_visible(ro, dirs, lights, 1e-3, 1e7)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scaled_soft_silhouette_raises():
+    """soft_silhouette_eps on a chunked scene would unroll the silhouette
+    query over every sphere (100k Python-loop iterations at trace time);
+    the renderer must fail loudly instead of hanging the build."""
+    import pytest
+    from toypathtracer_tpu import RenderConfig
+    from toypathtracer_tpu.scaled import make_scaled_scene, \
+        render_frame_scaled
+
+    scene = make_scaled_scene(n=200, chunk=64, extent=20.0)
+    cfg = RenderConfig(width=32, height=8, samples_per_pixel=1, max_depth=2,
+                       soft_silhouette_eps=0.05)
+    with pytest.raises(NotImplementedError):
+        render_frame_scaled(scene, cfg, 0, differentiable=True)

@@ -1259,6 +1259,15 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     zero3 = splat3(shape, (0.0, 0.0, 0.0))
     one = jnp.ones(shape, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
+    if soft and cfg.soft_silhouette_eps > 0.0 \
+            and hasattr(port, "hit_chunks"):
+        # Chunked (scaled) ports: silhouette_query unrolls a Python loop
+        # over port.n spheres -- 100k iterations would hang tracing.  A
+        # chunk-scan silhouette query is future work; fail loudly instead
+        # of silently freezing the build.
+        raise NotImplementedError(
+            "soft_silhouette_eps > 0 is not supported for chunked "
+            "(scaled) scenes yet; render with soft_silhouette_eps=0")
     if soft and cfg.soft_silhouette_eps > 0.0:
         # Soft-silhouette gradient estimator (north star: edge-aware
         # gradients).  Hard hit/miss selects drop the visibility-boundary
