@@ -82,3 +82,24 @@ def test_cli_resume_matches_uninterrupted(tmp_path, capsys):
     resumed = np.fromfile(b, np.uint8)
     straight = np.fromfile(c, np.uint8)
     np.testing.assert_array_equal(resumed, straight)
+
+
+def test_render_config_validation():
+    """The fused loop bit-packs depth (8 bits), samples-started (8) and
+    pixel slot (6) into one int32; RenderConfig must reject values that
+    would silently corrupt lane state (ADVICE round 1, extended for
+    pix_per_lane in round 2)."""
+    import pytest
+    from toypathtracer_tpu import RenderConfig
+
+    RenderConfig(max_depth=255, samples_per_pixel=255, pix_per_lane=63)
+    with pytest.raises(ValueError):
+        RenderConfig(max_depth=256)
+    with pytest.raises(ValueError):
+        RenderConfig(samples_per_pixel=256)
+    with pytest.raises(ValueError):
+        RenderConfig(pix_per_lane=0)
+    with pytest.raises(ValueError):
+        RenderConfig(pix_per_lane=64)
+    with pytest.raises(ValueError):
+        RenderConfig(width=0)
