@@ -34,4 +34,15 @@ timeout 3000 python tools/bench_grad.py --backend pallas --frames 2 --reps 3 \
 timeout 1800 python tools/bench_grad.py --backend jnp --frames 2 --reps 3 \
   > build/bench_grad_jnp.json
 
+# summary table of the K-sweep
+python - <<'EOF'
+import glob, json
+for p in sorted(glob.glob("build/bench_k*.json")):
+    try:
+        d = json.load(open(p))
+        print(f"{p}: {d['value']} {d['unit']}")
+    except Exception as e:
+        print(f"{p}: unreadable ({e})")
+EOF
+
 echo TPU-SESSION-DONE
