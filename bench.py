@@ -48,6 +48,12 @@ def main():
         "BENCH_BACKEND", "pallas" if platform == "tpu" else "jnp")
     cfg = tpt.RenderConfig(width=1280, height=720, samples_per_pixel=4,
                            max_depth=10)
+    if backend == "pallas":
+        # Tuned on the real chip (build/bench_k*.json ladder, round 2):
+        # pix_per_lane=15 with a 120x128 tile, 271.5 -> 353.5 Mray/s over
+        # the K=1 default.  Images are bit-identical for any K
+        # (tests/test_pallas.py), so the tuning is pure throughput.
+        cfg = cfg.replace(pix_per_lane=15, tile_h=120, tile_w=128)
     tile = os.environ.get("BENCH_TILE")  # e.g. "16,128" (tuning runs)
     if tile:
         th, tw = (int(x) for x in tile.split(","))
