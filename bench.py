@@ -48,19 +48,34 @@ def main():
         "BENCH_BACKEND", "pallas" if platform == "tpu" else "jnp")
     cfg = tpt.RenderConfig(width=1280, height=720, samples_per_pixel=4,
                            max_depth=10)
-    if backend == "pallas":
-        # Tuned on the real chip (build/bench_k*.json ladder, round 2):
-        # pix_per_lane=15 with a 120x128 tile, 271.5 -> 353.5 Mray/s over
-        # the K=1 default.  Images are bit-identical for any K
-        # (tests/test_pallas.py), so the tuning is pure throughput.
-        cfg = cfg.replace(pix_per_lane=15, tile_h=120, tile_w=128)
     tile = os.environ.get("BENCH_TILE")  # e.g. "16,128" (tuning runs)
+    ppl = os.environ.get("BENCH_PPL")    # pixels per lane (tuning runs)
+    if backend == "pallas" and not tile and not ppl:
+        # Tuned on the real chip (docs/measured/bench_k*.json ladder,
+        # round 2): pix_per_lane=15 with a 120x128 tile, 271.5 -> 353.5
+        # Mray/s over the K=1 default.  Images are bit-identical for any
+        # K (tests/test_pallas.py::test_pix_per_lane_bit_identical,
+        # including the shipped K=15/120x128 shape), so the tuning is
+        # pure throughput.  The tuned default applies only when no
+        # BENCH_TILE/BENCH_PPL override is present: a tile-only override
+        # would silently drop K=15 to 1 (tile_h % 15 != 0) and make
+        # sweep A/Bs incomparable.
+        cfg = cfg.replace(pix_per_lane=15, tile_h=120, tile_w=128)
     if tile:
         th, tw = (int(x) for x in tile.split(","))
         cfg = cfg.replace(tile_h=th, tile_w=tw)
-    ppl = os.environ.get("BENCH_PPL")  # pixels per lane (tuning runs)
     if ppl:
         cfg = cfg.replace(pix_per_lane=int(ppl))
+    if backend == "pallas":
+        # Log the K the kernel will actually use (it falls back to 1 when
+        # tile_h cannot host K aligned row bands) so sweeps are
+        # interpretable.
+        from toypathtracer_tpu.ops.pallas_render import _resolve_pix_per_lane
+        pad_h = -cfg.height % cfg.tile_h
+        pad_w = -cfg.width % cfg.tile_w
+        log(f"bench: tile {cfg.tile_h}x{cfg.tile_w}, pix_per_lane "
+            f"{cfg.pix_per_lane} (resolved "
+            f"{_resolve_pix_per_lane(cfg, pad_h, pad_w)})")
     scene = tpt.make_scene(big=True)
 
     if backend == "pallas":

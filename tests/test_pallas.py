@@ -111,6 +111,20 @@ def test_pix_per_lane_bit_identical(big_scene):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pix_per_lane_shipped_shape_bit_identical(big_scene):
+    """The SHIPPED bench default (K=15, 120x128 tile -- bench.py) at a
+    reduced depth: bit-identical image and exact ray count vs K=1 on the
+    same 120-row tile."""
+    cfg1 = RenderConfig(width=128, height=120, samples_per_pixel=1,
+                        max_depth=4, tile_h=120, tile_w=128)
+    a, ra = render_frame_pallas(big_scene, cfg1, jnp.int32(7),
+                                interpret=True)
+    b, rb = render_frame_pallas(big_scene, cfg1.replace(pix_per_lane=15),
+                                jnp.int32(7), interpret=True)
+    assert int(ra) == int(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pix_per_lane_padded_counts_exact(big_scene):
     """K-pixel lanes under tile padding: the per-lane counter mixes K
     pixels, so padded pixels are masked out of the ray count PER

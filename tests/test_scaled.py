@@ -195,17 +195,174 @@ def test_pallas_shadow_kernel_matches_scan():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_scaled_soft_silhouette_raises():
-    """soft_silhouette_eps on a chunked scene would unroll the silhouette
-    query over every sphere (100k Python-loop iterations at trace time);
-    the renderer must fail loudly instead of hanging the build."""
-    import pytest
-    from toypathtracer_tpu import RenderConfig
-    from toypathtracer_tpu.scaled import make_scaled_scene, \
-        render_frame_scaled
+def test_scaled_silhouette_chunks_matches_unrolled():
+    """The chunk-scan silhouette query (round-2 VERDICT item 4) must agree
+    with the unrolled tracecore.silhouette_query wherever the conservative
+    AABB pruning keeps the candidate: hit-side discriminants exactly, and
+    miss-side discriminants exactly whenever the true max is within the
+    gradient-visible band (d >= -8*eps); pruned lanes may only differ
+    where both weights are sigmoid(-8)-negligible."""
+    import jax
+    from toypathtracer_tpu.ops import tracecore as tc
+    from toypathtracer_tpu.scene import Scene, CameraSpec, MAT_LAMBERT
+    from toypathtracer_tpu.render.wavefront import ArrayScenePort
+
+    eps = 0.05
+    scene = make_scaled_scene(n=200, chunk=64, extent=20.0)
+    port_c = ChunkedScenePort(scene)
+
+    # unrolled reference port over the same (padded) sphere set
+    n_pad = scene.center.shape[0]
+    mt = np.where(np.asarray(scene.mat_is_met), 1,
+                  np.where(np.asarray(scene.mat_is_die), 2, 0))
+    ref_scene = Scene(
+        center=scene.center, radius=scene.radius, albedo=scene.albedo,
+        emissive=scene.emissive, roughness=scene.roughness, ri=scene.ri,
+        mat_type=tuple(int(x) for x in mt),
+        emissive_ids=scene.emissive_ids, camera=scene.camera)
+    port_u = ArrayScenePort(ref_scene)
+
+    rng = np.random.default_rng(11)
+    shape = (8, 16)
+    ro = tuple(jnp.asarray(rng.uniform(-15, 15, shape), jnp.float32)
+               for _ in range(3))
+    d = tuple(jnp.asarray(rng.normal(size=shape), jnp.float32)
+              for _ in range(3))
+    norm = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+    rd = tuple(x / norm for x in d)
+    hit = tc.hit_spheres(port_c, ro, rd, 1e-3, 1e7, want_material=False)
+
+    q_c = port_c.silhouette_chunks(ro, rd, 1e-3, hit.hit_id, eps)
+    q_u = tc.silhouette_query(port_u, ro, rd, 1e-3, hit.hit_id)
+
+    # allclose, not equality: the chunk scan compiles as one fused
+    # program (FMA contraction) while the unrolled query dispatches
+    # op-by-op, and d = nb^2 - c amplifies the ulp drift by cancellation
+    # (nb^2 ~ 3600 at this scene scale -> |drift| up to ~2e-4)
+    d_c, d_u = np.asarray(q_c.d), np.asarray(q_u.d)
+    hid = np.asarray(hit.hit_id)
+    np.testing.assert_allclose(d_c[hid >= 0], d_u[hid >= 0],
+                               rtol=1e-4, atol=2e-3)
+    visible_band = (hid < 0) & (d_u >= -8.0 * eps)
+    assert visible_band.any()  # the test must exercise the band
+    np.testing.assert_allclose(d_c[visible_band], d_u[visible_band],
+                               rtol=1e-4, atol=2e-3)
+    # everywhere else both silhouette weights are negligible
+    w_c = 1.0 / (1.0 + np.exp(-d_c / eps))
+    w_u = 1.0 / (1.0 + np.exp(-d_u / eps))
+    assert np.abs(w_c - w_u).max() < 5e-3
+    # candidate attributes agree on the visible band
+    np.testing.assert_array_equal(np.asarray(q_c.cx)[visible_band],
+                                  np.asarray(q_u.cx)[visible_band])
+    np.testing.assert_array_equal(np.asarray(q_c.radius)[visible_band],
+                                  np.asarray(q_u.radius)[visible_band])
+
+
+def test_scaled_lights_occlusion_proximity_matches_unrolled():
+    """Chunked shadow-boundary proximity vs the unrolled reference: exact
+    wherever the occluder discriminant is in the gradient-visible band."""
+    from toypathtracer_tpu.ops import tracecore as tc
+    from toypathtracer_tpu.scene import Scene
+    from toypathtracer_tpu.render.wavefront import ArrayScenePort
 
     scene = make_scaled_scene(n=200, chunk=64, extent=20.0)
-    cfg = RenderConfig(width=32, height=8, samples_per_pixel=1, max_depth=2,
-                       soft_silhouette_eps=0.05)
-    with pytest.raises(NotImplementedError):
-        render_frame_scaled(scene, cfg, 0, differentiable=True)
+    port_c = ChunkedScenePort(scene)
+    mt = np.where(np.asarray(scene.mat_is_met), 1,
+                  np.where(np.asarray(scene.mat_is_die), 2, 0))
+    ref_scene = Scene(
+        center=scene.center, radius=scene.radius, albedo=scene.albedo,
+        emissive=scene.emissive, roughness=scene.roughness, ri=scene.ri,
+        mat_type=tuple(int(x) for x in mt),
+        emissive_ids=scene.emissive_ids, camera=scene.camera)
+    port_u = ArrayScenePort(ref_scene)
+
+    rng = np.random.default_rng(3)
+    shape = (8, 16)
+    pos = tuple(jnp.asarray(rng.uniform(-15, 15, shape), jnp.float32)
+                for _ in range(3))
+    lids = list(scene.emissive_ids[:3])
+    dirs, t_ls = [], []
+    for e in lids:
+        sp = port_c.sphere(e)
+        to_l = (sp.cx - pos[0], sp.cy - pos[1], sp.cz - pos[2])
+        n = jnp.sqrt(to_l[0] ** 2 + to_l[1] ** 2 + to_l[2] ** 2)
+        l = tuple(x / n for x in to_l)
+        dirs.append(l)
+        t_ls.append(tc._sphere_t(sp, pos, l, 1e-3, safe=False)[0])
+
+    d_c = port_c.lights_occlusion_proximity(pos, dirs, lids, 1e-3, t_ls)
+    d_u = tc._lights_occlusion_proximity(port_u, pos, dirs, lids, 1e-3,
+                                         t_ls)
+    for a, b in zip(d_c, d_u):
+        a, b = np.asarray(a), np.asarray(b)
+        band = b >= -8.0
+        assert band.any()
+        np.testing.assert_allclose(a[band], b[band], rtol=1e-4, atol=2e-3)
+
+
+def test_scaled_geometry_recovery_soft_silhouette():
+    """Round-2 VERDICT item 4's done-criterion: recover a perturbed sphere
+    CENTER through the chunked renderer (config 5 + config 3 combined) --
+    soft_silhouette_eps > 0 now works with ChunkedScenePort, and the
+    silhouette gradients it restores pull the sphere home.
+
+    Setup: a 2k-sphere scaled field with one sphere relocated to a
+    prominent spot AGAINST THE SKY (radius 3 -> ~100 px footprint at
+    96x24; the procedural field's 0.2-0.5-radius spheres are sub-pixel at
+    this scene scale, which makes their positions unidentifiable -- moving
+    them changes fractions of one pixel and Adam just random-walks).
+    Sky-silhouetted placement matters: the estimator softens the
+    hit<->miss boundary (blending hit radiance vs sky/tangent estimate);
+    a sphere silhouetted against OTHER GEOMETRY is a hit<->hit boundary
+    it does not model (measured: wrong-sign gradients against the field,
+    sign+magnitude agreement with FD against the sky -- ~25% on all 3
+    axes at this setup).  soft_silhouette_eps is in DISCRIMINANT units:
+    d ~ 2*r*(r - b) near the silhouette, so eps=1.0 gives the sigmoid a
+    reach of ~0.2 units of closest-approach distance at r=3."""
+    import dataclasses as dc
+    import jax
+    import optax
+    from toypathtracer_tpu.scaled import refresh_chunk_aabb
+
+    base = make_scaled_scene(n=2000, chunk=64, extent=40.0)
+    sid = len(base.emissive_ids)  # first non-light sphere
+    scene = refresh_chunk_aabb(dc.replace(
+        base,
+        center=base.center.at[sid].set(jnp.asarray([0.0, 10.0, 5.0])),
+        radius=base.radius.at[sid].set(3.0)))
+    cfg = RenderConfig(width=96, height=24, samples_per_pixel=1,
+                       max_depth=2, soft_silhouette_eps=1.0)
+
+    target, _ = render_frame_scaled(scene, cfg, jnp.int32(0),
+                                    differentiable=True)
+    target = jax.lax.stop_gradient(target)
+
+    true_c = np.asarray(scene.center[sid])
+    delta0 = jnp.asarray([0.4, 0.2, 0.3], jnp.float32)
+    onehot = jnp.zeros_like(scene.center).at[sid].set(1.0)
+
+    def loss(center):
+        s = refresh_chunk_aabb(dc.replace(scene, center=center))
+        img, _ = render_frame_scaled(s, cfg, jnp.int32(0),
+                                     differentiable=True)
+        d = img - target
+        return jnp.mean(d * d)
+
+    opt = optax.adam(3e-2)
+
+    @jax.jit
+    def step(center, opt_state):
+        l, g = jax.value_and_grad(loss)(center)
+        upd, opt_state = opt.update(g * onehot, opt_state)
+        return center + upd, opt_state, l
+
+    center = scene.center.at[sid].add(delta0)
+    err0 = float(jnp.linalg.norm(delta0))
+    opt_state = opt.init(center)
+    losses = []
+    for _ in range(60):
+        center, opt_state, l = step(center, opt_state)
+        losses.append(float(l))
+    err = float(np.linalg.norm(np.asarray(center[sid]) - true_c))
+    assert err < 0.4 * err0, (err, err0, losses[:3], losses[-3:])
+    assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])

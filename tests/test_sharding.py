@@ -120,3 +120,67 @@ def test_scaled_sharded_pallas_matches_single_device(mesh):
     assert b.shape == (16, 64, 3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(ra) == int(rb)
+
+
+def test_sharded_pallas_grads_match_single_device(small_scene, mesh):
+    """VERDICT round-2 item 3: the production multi-chip DIFFERENTIABLE
+    configuration -- each shard runs the fused in-kernel-vjp gradient
+    kernel (ops/pallas_grad.render_tile_pallas_diff) on its row band and
+    the packed-scene cotangent is psum'd over the mesh.  Gradients must
+    equal single-device Pallas gradients (same per-tile programs, summed
+    in a different order -> tolerance is reassociation-level only)."""
+    from toypathtracer_tpu.inverse import (make_sharded_value_and_grad,
+                                           render_loss)
+
+    cfg = RenderConfig(width=32, height=16, samples_per_pixel=1,
+                       max_depth=2, tile_h=8, tile_w=32,
+                       grad_tile_h=8, grad_tile_w=32)
+    target = jnp.zeros((16, 32, 3), jnp.float32)
+
+    vg1 = jax.jit(jax.value_and_grad(
+        lambda s: render_loss(s, target, cfg, jnp.int32(0),
+                              backend="pallas", interpret=True)))
+    l1, g1 = vg1(small_scene)
+    vgn = jax.jit(make_sharded_value_and_grad(cfg, mesh, backend="pallas",
+                                              interpret=True))
+    ln, gn = vgn(small_scene, target, jnp.int32(0))
+    # loss: fused forward under different tile offsets -> ulp-level drift
+    assert abs(float(l1) - float(ln)) < 1e-5 * max(1.0, abs(float(l1)))
+    for f in ("center", "radius", "albedo", "emissive", "roughness", "ri"):
+        a = np.asarray(getattr(g1, f))
+        b = np.asarray(getattr(gn, f))
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-9 +
+                                   1e-7 * np.abs(a).max(), err_msg=f)
+
+
+def test_multiview_mesh_fit_recovers_center(mesh):
+    """VERDICT round-2 item 8: multi-view + mesh sharding combined
+    (views unrolled inside each shard, rows sharded over the mesh).
+    Fitting a depth-offset sphere center from 2 views on the 8-device
+    mesh must triangulate it -- the same recovery
+    tests/test_soft_silhouette.py::test_multiview_recovers_depth_axis
+    proves single-device."""
+    from test_soft_silhouette import CFG_SOFT, one_sphere_scene
+    from toypathtracer_tpu.inverse import InverseRenderer
+    from toypathtracer_tpu.scene import CameraSpec
+
+    cams = (CameraSpec(look_from=(0.0, 0.0, 3.0), look_at=(0, 0, 0),
+                       aperture=0.0),
+            CameraSpec(look_from=(3.0, 0.0, 0.0), look_at=(0, 0, 0),
+                       aperture=0.0))
+    true_scene = one_sphere_scene(0.0)
+    targets = []
+    for cam in cams:
+        img, _ = render_frame(true_scene.replace(camera=cam), CFG_SOFT,
+                              jnp.int32(0), differentiable=True)
+        targets.append(jax.lax.stop_gradient(img))
+    targets = jnp.stack(targets)
+
+    start = true_scene.replace(
+        center=jnp.array([[0.0, 0.0, 0.12]], jnp.float32))
+    inv = InverseRenderer(CFG_SOFT, targets, trainable=("center",),
+                          learning_rate=5e-3, cameras=cams, mesh=mesh)
+    fitted, losses = inv.fit(start, steps=60, resample=False)
+    errz = float(jnp.abs(fitted.center[0, 2]))
+    assert errz < 0.06, f"multi-view+mesh failed to recover depth: {errz}"
+    assert losses[-1] < 0.5 * losses[0]

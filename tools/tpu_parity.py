@@ -1,13 +1,24 @@
 #!/usr/bin/env python3
-"""Real-TPU Pallas-vs-jnp parity artifact (VERDICT round 1, item 6).
+"""Real-TPU Pallas-vs-jnp parity artifact (VERDICT round 1 item 6 +
+round 2 item 5).
 
-Renders one frame with the Mosaic-COMPILED Pallas kernel and with the
-XLA-compiled jnp wavefront on the same device, and writes bit-equality /
-max-abs stats to build/tpu_parity.json.  The interpret-mode bit-identity
-test (tests/test_pallas.py) proves the two share one formulation; this
-artifact proves the compiled kernel agrees on real hardware -- the
-framework analog of the reference's cross-implementation checklist
-(reference: readme.md:34-47).
+Two sections:
+
+1. single-frame raw stats: bit-equality / max-abs of one frame rendered
+   by the Mosaic-COMPILED Pallas kernel vs the XLA-compiled jnp
+   wavefront on the same chip.  Per-pixel diffs here are chaotic
+   divergence (Mosaic and XLA round sin/cos/FMA differently; one ulp in
+   a bounce direction decorrelates that pixel's whole MC path), so the
+   raw max says nothing about radiometric correctness.
+
+2. progressive_mean: the DISTRIBUTION-level gate (the round-2 missing
+   piece).  16-frame progressive averages converge to the same integral
+   -- chaos decorrelates and averages out; a real radiometric bug below
+   the chaos floor would NOT.  Same tonemapped 4x4-block-mean gates as
+   tests/test_parity.py::test_progressive_16frame_distribution applies
+   against the compiled C++ oracle: blocks agree to mean < 0.02,
+   max < 0.20.  This is the TPU analog of the reference's
+   cross-implementation checklist (reference: readme.md:34-47).
 
 Run inside the TPU bench window:  python tools/tpu_parity.py
 """
@@ -64,6 +75,54 @@ def main():
         "compile_plus_run_s": {"pallas": round(t_pallas, 2),
                                "jnp": round(t_jnp, 2)},
     }
+    # --- distribution gate: 16-frame progressive means, block-compared
+    # with the same tolerances tests/test_parity.py applies vs the C++
+    # oracle.  64x36 and 4x4 blocks exactly like that test, so the
+    # tolerances transfer.
+    pcfg = tpt.RenderConfig(width=64, height=36)
+
+    def progressive(render):
+        @jax.jit
+        def run(scene):
+            accum0 = jnp.zeros((pcfg.height, pcfg.width, 3), jnp.float32)
+
+            def step(accum, i):
+                img, rays = render(scene, pcfg, i)
+                fac = i.astype(jnp.float32) / (i.astype(jnp.float32) + 1.0)
+                return accum * fac + img * (1.0 - fac), rays
+
+            return jax.lax.scan(step, accum0,
+                                jnp.arange(16, dtype=jnp.int32))
+
+        accum, rays = run(scene)
+        return np.asarray(accum), int(np.asarray(rays).sum())
+
+    pa, rays_pp = progressive(render_frame_pallas)
+    pb, rays_pj = progressive(render_frame)
+    ta = np.sqrt(np.clip(pa, 0, None))
+    tb = np.sqrt(np.clip(pb, 0, None))
+    ab = ta.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
+    bb = tb.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
+    block_mean = float(np.abs(ab - bb).mean())
+    block_max = float(np.abs(ab - bb).max())
+    # Ray counts on REAL hardware are near-equal, not equal: a one-ulp
+    # Mosaic-vs-XLA difference in a bounce direction changes that path's
+    # depth, so counts drift by the chaos rate (measured 0.004% at 640x360;
+    # interpret mode is exactly equal, tests/test_pallas.py).  Gate at
+    # 0.05%.
+    rays_rel = abs(rays_pp - rays_pj) / max(rays_pj, 1)
+    out["progressive_mean"] = {
+        "frames": 16,
+        "config": {"width": pcfg.width, "height": pcfg.height,
+                   "spp": pcfg.samples_per_pixel, "depth": pcfg.max_depth},
+        "rays_rel_diff": rays_rel,
+        "block_mean_abs": block_mean,
+        "block_max_abs": block_max,
+        "gates": {"mean": 0.02, "max": 0.20, "rays_rel": 5e-4},
+        "pass": bool(block_mean < 0.02 and block_max < 0.20
+                     and rays_rel < 5e-4),
+    }
+
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", "build"),
                 exist_ok=True)
     path = os.path.join(os.path.dirname(__file__), "..", "build",
@@ -72,10 +131,19 @@ def main():
         json.dump(out, f, indent=2)
         f.write("\n")
     print(json.dumps(out))
-    # Contract: same formulation => same rays always; pixel bits may
-    # differ only if Mosaic and XLA schedule FMAs differently (none
-    # observed on v5e -- see the committed artifact).
-    assert out["rays_equal"], "ray counts diverge: formulation bug"
+    # Contract: near-equal rays (chaotic Mosaic-vs-XLA divergence changes
+    # path depths at the ~0.004% rate; exact equality holds only in
+    # interpret mode) and a PASSING 16-frame distribution gate.  Round 2's
+    # version asserted exact ray equality, which its own committed
+    # artifact (rays_equal: false) contradicted -- the single-frame raw
+    # stats stay in the artifact as data, the verdict is the gate.
+    rel = abs(out["rays_pallas"] - out["rays_jnp"]) / out["rays_jnp"]
+    assert rel < 5e-4, f"ray counts diverge beyond chaos rate: {rel}"
+    assert out["progressive_mean"]["pass"], \
+        "distribution gate failed: radiometric divergence beyond MC noise"
+    print("tpu_parity: distribution gate PASS "
+          f"(block mean {out['progressive_mean']['block_mean_abs']:.2e}, "
+          f"max {out['progressive_mean']['block_max_abs']:.2e})")
     return 0
 
 

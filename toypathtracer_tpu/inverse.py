@@ -135,44 +135,85 @@ def multiview_render_loss(scene: Scene, cameras, targets,
     return total / len(cameras)
 
 
-def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh):
+def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh,
+                                backend: str = "jnp",
+                                interpret: bool = False,
+                                cameras: Optional[tuple] = None):
     """value_and_grad of the pixel-L2 loss with image rows sharded over
     `mesh` and loss/grads psum-reduced over ICI.
 
     Per-shard loss is sum-of-squares / global pixel count, so the psum of
     shard losses equals the global mean and the psum of shard grads equals
     the global gradient.  Returns `f(scene, target, frame) -> (loss, grads)`
-    (wrap in jit at the call site); `target` is (H, W, 3).
+    (wrap in jit at the call site); `target` is (H, W, 3), or (V, H, W, 3)
+    when `cameras` (a static tuple of V CameraSpec) is given -- each shard
+    then renders its row band once per view (views unrolled, rows sharded)
+    and the loss is the mean over views.
+
+    backend="pallas": each shard renders AND differentiates its band with
+    the fused Pallas kernels (ops/pallas_grad.render_tile_pallas_diff) --
+    kernel-speed gradients composed with the mesh, the configuration the
+    north star's gradient all-reduce asks for.  The scene cotangent psum
+    over ICI is inserted by shard_map's AD (replicated input), exactly as
+    in the jnp path.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     if cfg.height % n != 0:
         raise ValueError(f"height {cfg.height} must divide over {n} devices")
     rows_per = cfg.height // n
-    denom = float(cfg.height * cfg.width * 3)
+    n_views = 1 if cameras is None else len(cameras)
+    denom = float(cfg.height * cfg.width * 3 * n_views)
+
+    def band_image(scene, frame, y0):
+        if backend == "pallas":
+            from .ops.pallas_grad import render_tile_pallas_diff
+            img, _ = render_tile_pallas_diff(scene, cfg, frame, 0, y0,
+                                             rows_per, cfg.width, interpret)
+        else:
+            img, _ = wavefront.render_tile(scene, cfg, frame, 0, y0,
+                                           rows_per, cfg.width,
+                                           differentiable=True)
+        return jnp.transpose(img, (1, 2, 0))
 
     def local_loss(scene, target_shard, frame, y0):
-        img, _ = wavefront.render_tile(scene, cfg, frame, 0, y0, rows_per,
-                                       cfg.width, differentiable=True)
-        img = jnp.transpose(img, (1, 2, 0))
-        d = img - target_shard
-        return jnp.sum(d * d) / denom
+        if cameras is None:
+            d = band_image(scene, frame, y0) - target_shard
+            return jnp.sum(d * d) / denom
+        total = jnp.float32(0.0)
+        for v, cam in enumerate(cameras):
+            d = band_image(scene.replace(camera=cam), frame, y0) \
+                - target_shard[v]
+            total = total + jnp.sum(d * d)
+        return total / denom
 
     def shard_fn(scene, target_shard, frame):
         y0 = jax.lax.axis_index(axis) * rows_per
         loss, grads = jax.value_and_grad(local_loss)(scene, target_shard,
                                                      frame, y0)
-        # No explicit psum on grads: shard_map's AD inserts the psum for
-        # cotangents of replicated (in_specs P()) inputs itself -- an
-        # explicit one here double-counts by the mesh size (measured: 8x
-        # on an 8-device mesh).  The loss is a per-shard partial sum and
-        # IS psum'd explicitly.
+        # jnp path: no explicit psum on grads -- shard_map's AD inserts
+        # the psum for cotangents of replicated (in_specs P()) inputs
+        # itself; an explicit one here double-counts by the mesh size
+        # (measured: 8x on an 8-device mesh).  pallas path: check_vma is
+        # OFF (pallas_call metadata limitation), which also disables the
+        # varying-axes tracking that drives that automatic psum -- the
+        # returned grads are the LOCAL band's (measured: sharded grads ==
+        # shard-0 grads without this), so psum explicitly.
+        if backend == "pallas":
+            grads = jax.lax.psum(grads, axis)
+        # The loss is a per-shard partial sum and IS psum'd explicitly.
         return jax.lax.psum(loss, axis), grads
 
+    target_spec = P(axis, None, None) if cameras is None \
+        else P(None, axis, None, None)
     return shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P()),
+        in_specs=(P(), target_spec, P()),
         out_specs=(P(), P()),
+        # check_vma=False on the pallas path for the same pallas_call
+        # metadata limitation as mesh.render_frame_sharded; guarded by
+        # tests/test_sharding.py's grad-equality tests.
+        check_vma=(backend != "pallas"),
     )
 
 
@@ -193,7 +234,8 @@ class InverseRenderer:
     clip_norm: Optional[float] = 1.0  # None disables gradient clipping
     # Multi-view: a static tuple of CameraSpec, one per target view (the
     # scene's own camera is ignored).  Triangulates geometry that a
-    # single view cannot identify.  Not combinable with mesh sharding.
+    # single view cannot identify.  Combinable with mesh sharding (views
+    # unrolled per shard, rows sharded) -- target becomes (V, H, W, 3).
     cameras: Optional[tuple] = None
     # Adam's denominator floor.  The default 1e-8 turns the near-zero,
     # noise-dominated gradients of barely-visible spheres into unit-scale
@@ -203,7 +245,10 @@ class InverseRenderer:
     adam_eps: float = 1e-8
     # "jnp": reverse-mode XLA through the lockstep loop (jax.checkpoint).
     # "pallas": fused forward + fused in-kernel-vjp backward kernels
-    # (ops/pallas_grad.py).  Not combinable with mesh/cameras yet.
+    # (ops/pallas_grad.py); composes with mesh (each shard runs the
+    # gradient kernel on its row band, scene cotangents psum'd over ICI).
+    # pallas + multi-view remains single-feature (the gradient kernel's
+    # camera is per-call static -- render per-view losses separately).
     backend: str = "jnp"
     # interpret=True runs the Pallas kernels in interpret mode (CPU
     # testing of the backend="pallas" training step; no effect on jnp).
@@ -213,13 +258,15 @@ class InverseRenderer:
         adam = optax.adam(self.learning_rate, eps=self.adam_eps)
         self.opt = adam if self.clip_norm is None else optax.chain(
             optax.clip_by_global_norm(self.clip_norm), adam)
-        if self.backend == "pallas" and (self.mesh is not None
-                                         or self.cameras is not None):
-            raise ValueError("backend='pallas' is single-device single-view")
+        if self.backend == "pallas" and self.cameras is not None:
+            raise ValueError("backend='pallas' is single-view")
         if self.mesh is not None:
-            if self.cameras is not None:
-                raise ValueError("multi-view + mesh sharding not supported")
-            self._vg = make_sharded_value_and_grad(self.cfg, self.mesh)
+            if self.loss_fn is not image_l2:
+                raise ValueError("mesh sharding implements image_l2 only "
+                                 "(the per-shard partial sums assume it)")
+            self._vg = make_sharded_value_and_grad(
+                self.cfg, self.mesh, backend=self.backend,
+                interpret=self.interpret, cameras=self.cameras)
         elif self.cameras is not None:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: multiview_render_loss(

@@ -18,13 +18,33 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _build_on_demand(path: str) -> bool:
+    """Build libtptnative.so from the in-repo source when it is missing
+    and a compiler is available (development checkouts; wheels ship the
+    .so).  Keeps the presentation layer always-on like the reference's
+    (Cs/Program.cs:34-59) instead of silently degrading to numpy."""
+    import shutil
+    import subprocess
+    src = os.path.join(os.path.dirname(__file__), os.pardir, "native",
+                       "tptnative.cpp")
+    if not os.path.exists(src) or shutil.which("g++") is None:
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-o", path, src],
+            check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, OSError):
+        return False
+    return os.path.exists(path)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "libtptnative.so")
-    if not os.path.exists(path):
+    if not os.path.exists(path) and not _build_on_demand(path):
         return None
     try:
         lib = ctypes.CDLL(path)

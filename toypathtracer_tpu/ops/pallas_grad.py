@@ -48,7 +48,8 @@ from ..scene import Scene
 from ..ops import tracecore as tc
 from .pallas_render import (SCENE_ROWS, ROW_CX, ROW_CY, ROW_CZ, ROW_SQR,
                             ROW_INVR, ROW_R, ROW_ALB, ROW_EM, ROW_ROUGH,
-                            ROW_RI, pack_scene, render_frame_pallas)
+                            ROW_RI, pack_scene, render_frame_pallas,
+                            render_tile_pallas)
 
 
 class TupleScenePort(tc.ScenePort):
@@ -203,6 +204,47 @@ def scene_cotangent_from_packed(scene: Scene, d_packed) -> Scene:
     _, pb = jax.vjp(pack_scene, scene)
     d_scene, = pb(d_packed)
     return d_scene
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+def render_tile_pallas_diff(scene: Scene, cfg: RenderConfig, frame,
+                            x0, y0, height: int, width: int,
+                            interpret: bool = False):
+    """Differentiable (height, width) sub-image at global offset (x0, y0):
+    forward = the fused Pallas kernel (render_tile_pallas), backward = the
+    fused in-kernel-vjp gradient kernel (render_tile_grad_pallas).
+
+    The tile-level seam the SHARDED training step needs: each mesh shard
+    differentiates its own row band with the fast kernels, and shard_map's
+    AD psums the replicated scene's cotangent over the mesh -- the TPU
+    form of the reference's cross-worker atomic reduce
+    (reference: Cpp/Source/Test.cpp:299).  Returns ((3, height, width)
+    f32, ray count)."""
+    return render_tile_pallas(scene, cfg, frame, x0, y0, height, width,
+                              interpret=interpret)
+
+
+def _tile_diff_fwd(scene, cfg, frame, x0, y0, height, width, interpret):
+    out = render_tile_pallas(scene, cfg, frame, x0, y0, height, width,
+                             interpret=interpret)
+    return out, (scene, frame, x0, y0)
+
+
+def _tile_diff_bwd(cfg, height, width, interpret, res, cts):
+    scene, frame, x0, y0 = res
+    g_img, _ = cts  # ray-count cotangent is symbolically zero (int)
+    _, _, d_packed = render_tile_grad_pallas(
+        scene, cfg, frame, g_img, x0, y0, height, width,
+        interpret=interpret)
+    d_scene = scene_cotangent_from_packed(scene, d_packed)
+
+    def f0(v):
+        return np.zeros(jnp.shape(v), dtype=jax.dtypes.float0)
+
+    return d_scene, f0(frame), f0(x0), f0(y0)
+
+
+render_tile_pallas_diff.defvjp(_tile_diff_fwd, _tile_diff_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))

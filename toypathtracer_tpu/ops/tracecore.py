@@ -528,6 +528,18 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
     is_lam = hit_id < -1
     is_met = hit_id < -1
     is_die = hit_id < -1
+    # Static-id-set gather trim (forward kernels only): emissive is read
+    # only from port.emissive_ids spheres, roughness only from metal
+    # spheres, ri only from dielectric spheres -- the trace consumes the
+    # others' values nowhere (the reference's shader likewise only USES
+    # roughness on metal and ri on dielectric hits), and the scene
+    # builders zero them, so trimmed one-hot sums are bit-identical to
+    # the full gather while dropping ~260 of its ~740 ops on the big
+    # scene (22 lam / 23 met / 1 die / 2 emissive).  Differentiable
+    # ports (needs_safe_grad) keep the full gather so cotangents reach
+    # EVERY sphere's fields, exactly like the jnp scan path.
+    trim = want_material and not getattr(port, "needs_safe_grad", False)
+    em_ids = set(port.emissive_ids) if trim else None
     for i in range(port.n):
         onehot = hit_id == i
         # one bool->f32 convert per sphere, then one FMA per attribute
@@ -542,17 +554,26 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
                         inv_radius=sp.inv_radius)
         if want_material:
             m = port.material(i)
-            vals.update(alb_r=m.alb[0], alb_g=m.alb[1], alb_b=m.alb[2],
-                        em_r=m.em[0], em_g=m.em[1], em_b=m.em[2],
-                        roughness=m.roughness, ri=m.ri)
+            vals.update(alb_r=m.alb[0], alb_g=m.alb[1], alb_b=m.alb[2])
+            if not trim or i in em_ids:
+                vals.update(em_r=m.em[0], em_g=m.em[1], em_b=m.em[2])
+            if not trim or m.mtype == 1:
+                vals.update(roughness=m.roughness)
+            if not trim or m.mtype not in (0, 1):
+                vals.update(ri=m.ri)
             if m.mtype == 0:
-                is_lam = is_lam | onehot
+                if not trim:
+                    is_lam = is_lam | onehot
             elif m.mtype == 1:
                 is_met = is_met | onehot
             else:
                 is_die = is_die | onehot
         for k, v in vals.items():
             acc[k] = acc[k] + sel * v
+    if trim:
+        # lam = hit and neither of the (smaller) met/die sets: one
+        # derived mask instead of 22 one-hot ORs
+        is_lam = (hit_id >= 0) & ~(is_met | is_die)
 
     if not want_material:
         none3 = (zero, zero, zero)
@@ -745,17 +766,31 @@ def _sphere_occludes(sp: SphereData, ro, rd, t_min, t_l):
 
 
 def _occ_test(nb, c, t_min, t_l):
-    """The sqrt-free root-comparison core of _sphere_occludes, on
-    precomputed nb = dot(co, dir) and c = dot(co, co) - r^2."""
+    """Sqrt-free occlusion core of _sphere_occludes, on precomputed
+    nb = dot(co, dir) and c = dot(co, co) - r^2: does the root interval
+    [t0, t1] overlap the shadow segment (t_min, t_l)?
+
+    Overlap form (round 3; -8 VPU ops per sphere per light vs the round-2
+    per-root case analysis):
+      t0 < t_l   <=>  nb - s < t_l   <=>  (b < 0) | (d > b^2)
+      t1 > t_min <=>  nb + s > t_min <=>  (a > 0) | (d > a^2)
+    with s = sqrt(d), a = nb - t_min, b = nb - t_l.
+
+    Interval overlap equals the reference's nearest-valid-root-in-segment
+    test EXCEPT when the ray starts inside this sphere and exits beyond
+    the light (t0 <= t_min < t_l <= t1): overlap says occluded, the
+    nearest-hit rule says the light (inside this sphere!) is closer.
+    That needs the light sphere's surface to be EMBEDDED in the occluder
+    -- impossible in the reference scenes (spheres at most tangent,
+    Test.cpp:13-31) and in the scaled fields (lights float above the
+    sphere field).  The golden-parity path keeps the exact root-based
+    comparisons (Samplers.exact_shadow)."""
     d = nb * nb - c
     a = nb - t_min
     b = nb - t_l
-    a2 = a * a
-    b2 = b * b
-    case1 = (a > 0.0) & (d < a2)
-    occ0 = (b < 0.0) | (b2 < d)
-    occ1 = ((a > 0.0) | (d > a2)) & (b < 0.0) & (d < b2)
-    return (d > 0.0) & ((case1 & occ0) | (~case1 & occ1))
+    return ((d > 0.0)
+            & ((b < 0.0) | (d > b * b))
+            & ((a > 0.0) | (d > a * a)))
 
 
 def lights_visible_fused(port: ScenePort, ro, dirs, light_ids, t_min, t_max):
@@ -1029,9 +1064,17 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
             t_ls = [
                 _sphere_t(port.sphere(e), pos, l, cfg.min_t, safe=False)[0]
                 for e, _, _, l, _ in cones]
-            d_occs = _lights_occlusion_proximity(
-                port, pos, [c[3] for c in cones], [c[0] for c in cones],
-                cfg.min_t, t_ls)
+            # chunked (scaled) ports provide an AABB-gated chunk scan;
+            # the default unrolls the (small, static) sphere loop
+            prox = getattr(port, "lights_occlusion_proximity",
+                           None)
+            if prox is not None:
+                d_occs = prox(pos, [c[3] for c in cones],
+                              [c[0] for c in cones], cfg.min_t, t_ls)
+            else:
+                d_occs = _lights_occlusion_proximity(
+                    port, pos, [c[3] for c in cones],
+                    [c[0] for c in cones], cfg.min_t, t_ls)
         else:
             d_occs = [None] * len(cones)
 
@@ -1259,15 +1302,6 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
     zero3 = splat3(shape, (0.0, 0.0, 0.0))
     one = jnp.ones(shape, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
-    if soft and cfg.soft_silhouette_eps > 0.0 \
-            and hasattr(port, "hit_chunks"):
-        # Chunked (scaled) ports: silhouette_query unrolls a Python loop
-        # over port.n spheres -- 100k iterations would hang tracing.  A
-        # chunk-scan silhouette query is future work; fail loudly instead
-        # of silently freezing the build.
-        raise NotImplementedError(
-            "soft_silhouette_eps > 0 is not supported for chunked "
-            "(scaled) scenes yet; render with soft_silhouette_eps=0")
     if soft and cfg.soft_silhouette_eps > 0.0:
         # Soft-silhouette gradient estimator (north star: edge-aware
         # gradients).  Hard hit/miss selects drop the visibility-boundary
@@ -1284,7 +1318,16 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
         # point (_tangent_radiance) -- the term the round-1 one-sided
         # estimator dropped (it covered only half the boundary measure).
         eps = jnp.float32(cfg.soft_silhouette_eps)
-        q = silhouette_query(port, ro, rd, cfg.min_t, res.hit_id)
+        # chunked (scaled) ports provide an AABB-gated chunk-scan form
+        # (scaled.ChunkedScenePort.silhouette_chunks -- the unrolled query
+        # would trace port.n Python iterations); same estimator semantics
+        # up to gradient-invisible pruning (see its docstring)
+        sil = getattr(port, "silhouette_chunks", None)
+        if sil is not None:
+            q = sil(ro, rd, cfg.min_t, res.hit_id,
+                    cfg.soft_silhouette_eps)
+        else:
+            q = silhouette_query(port, ro, rd, cfg.min_t, res.hit_id)
         d_sil = q.d
         w_soft = jax.nn.sigmoid(d_sil / eps)
         w_hard = (res.hit_id >= 0).astype(jnp.float32)

@@ -210,6 +210,24 @@ def make_scaled_scene(n: int = 100_000, seed: int = 1234,
     )
 
 
+def refresh_chunk_aabb(scene: ScaledScene) -> ScaledScene:
+    """Recompute the chunk AABBs from the current centers/radii -- the
+    scaled analog of the reference's per-frame SpheresSoA refresh
+    (Test.cpp:322-330).  Required after moving spheres (animation,
+    inverse-rendering updates): hit_chunks' t-pruning is exact only while
+    every sphere lies inside its chunk's AABB.  stop_gradient: the boxes
+    only gate traversal, they carry no radiometric signal."""
+    C = scene.n_chunks
+    K = scene.chunk
+    c = scene.center.reshape(C, K, 3)
+    r = scene.radius.reshape(C, K)
+    cmin = (c - r[..., None]).min(axis=1)
+    cmax = (c + r[..., None]).max(axis=1)
+    aabb = jax.lax.stop_gradient(
+        jnp.concatenate([cmin, cmax], axis=1).astype(jnp.float32))
+    return dataclasses.replace(scene, chunk_aabb=aabb)
+
+
 class ChunkedScenePort(tc.ScenePort):
     """ScenePort whose hit query streams chunk-by-chunk with AABB + t
     pruning.  Satisfies the same interface as the small-scene ports for
@@ -225,6 +243,10 @@ class ChunkedScenePort(tc.ScenePort):
         self._inv_radius = jnp.where(scene.radius > 0,
                                      1.0 / jnp.maximum(scene.radius, 1e-8),
                                      0.0)
+        # per-chunk max radius: the conservative AABB-inflation margin of
+        # the soft-silhouette / shadow-proximity chunk scans
+        self._chunk_rmax = jax.lax.stop_gradient(
+            scene.radius.reshape(-1, scene.chunk).max(axis=1))
         self._use_pallas = use_pallas
         self._pallas_interpret = pallas_interpret
         if use_pallas:
@@ -345,6 +367,174 @@ class ChunkedScenePort(tc.ScenePort):
         occs0 = tuple(zero > 1.0 for _ in range(n_l))
         occs, _ = jax.lax.scan(step, occs0, xs, unroll=_SCAN_UNROLL)
         return [h & ~o for h, o in zip(light_hits, occs)]
+
+    def silhouette_chunks(self, ro, rd, t_min, hit_id, eps):
+        """Chunk-scan form of tracecore.silhouette_query (round-2 VERDICT
+        item 4): the unrolled per-sphere loop would trace 100k Python
+        iterations; this is a lax.scan over chunks, AABB-gated like
+        hit_chunks.
+
+        Gating is CONSERVATIVE w.r.t. the gradient, not the raw value:
+        each chunk's AABB is inflated by delta_c = sqrt(rmax_c^2 + 8*eps).
+        A ray missing the inflated box has, for every sphere inside
+        (center in the box, so closest-approach b >= dist(ray, box) >
+        delta_c), discriminant d = r^2 - b^2 < -8*eps -- its silhouette
+        weight sigmoid(d/eps) < 3.4e-4 and its gradient is likewise
+        sigmoid'-suppressed, so skipping it changes nothing the estimator
+        can see.  Hit lanes' winning spheres always pass the test (the
+        ray intersects the real AABB).  The scan carries only
+        (d_hit, d_miss, idx_miss); candidate attributes are fetched after
+        the scan with per-lane takes and its nb is recomputed from the
+        gathered center (same deferred-fetch design as hit_chunks)."""
+        s = self._s
+        C, K = s.chunk_aabb.shape[0], s.chunk
+        zero = ro[0] * 0.0
+        lane_nd = ro[0].ndim
+        ksl = (slice(None),) + (None,) * lane_nd
+
+        inv_d = tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                      jnp.where(d >= 0, 1e-12, -1e-12), d)
+                      for d in rd)
+        delta = jnp.sqrt(self._chunk_rmax ** 2 + 8.0 * jnp.float32(eps))
+
+        xs = dict(
+            cx=s.center[:, 0].reshape(C, K),
+            cy=s.center[:, 1].reshape(C, K),
+            cz=s.center[:, 2].reshape(C, K),
+            sqr=self._sq_radius.reshape(C, K),
+            aabb=s.chunk_aabb,
+            delta=delta,
+            base=jnp.arange(C, dtype=jnp.int32) * K,
+        )
+        carry = (zero, zero - 1e9, zero.astype(jnp.int32) - 1)
+
+        def step(carry, ch):
+            t0 = zero + t_min
+            t1 = zero + 1e7
+            for a in range(3):
+                lo = (ch["aabb"][a] - ch["delta"] - ro[a]) * inv_d[a]
+                hi = (ch["aabb"][3 + a] + ch["delta"] - ro[a]) * inv_d[a]
+                t0 = jnp.maximum(t0, jnp.minimum(lo, hi))
+                t1 = jnp.minimum(t1, jnp.maximum(lo, hi))
+            live = t0 <= t1
+
+            def detail(carry):
+                d_hit, d_miss, idx_miss = carry
+                cox = ch["cx"][ksl] - ro[0]
+                coy = ch["cy"][ksl] - ro[1]
+                coz = ch["cz"][ksl] - ro[2]
+                nb = cox * rd[0] + coy * rd[1] + coz * rd[2]
+                cq = cox * cox + coy * coy + coz * coz - ch["sqr"][ksl]
+                d = nb * nb - cq
+                idx = ch["base"] + jnp.arange(K, dtype=jnp.int32)
+                # hit side: one-hot accumulate the winner's discriminant
+                sel = (idx[ksl] == hit_id).astype(jnp.float32)
+                d_hit = d_hit + jnp.sum(sel * d, axis=0)
+                # miss side: running argmax of in-front candidates
+                d_m = jnp.where(nb > t_min, d, -1e9)
+                k = jnp.argmax(d_m, axis=0)
+                d_best = jnp.max(d_m, axis=0)
+                better = live & (d_best > d_miss)
+                d_miss = jnp.where(better, d_best, d_miss)
+                idx_miss = jnp.where(better, ch["base"] + k, idx_miss)
+                return d_hit, d_miss, idx_miss
+
+            carry = jax.lax.cond(jnp.any(live), detail, lambda c: c, carry)
+            return carry, None
+
+        (d_hit, d_miss, idx_miss), _ = jax.lax.scan(step, carry, xs,
+                                                    unroll=_SCAN_UNROLL)
+
+        cand_on = d_miss > -1e8
+        idx = jnp.maximum(idx_miss, 0)
+        gx = jnp.where(cand_on, s.center[idx, 0], zero)
+        gy = jnp.where(cand_on, s.center[idx, 1], zero)
+        gz = jnp.where(cand_on, s.center[idx, 2], zero)
+        nb_cand = ((gx - ro[0]) * rd[0] + (gy - ro[1]) * rd[1]
+                   + (gz - ro[2]) * rd[2])
+        return tc.SilhouetteInfo(
+            d=jnp.where(hit_id >= 0, d_hit, d_miss),
+            cand_on=cand_on, nb=jnp.where(cand_on, nb_cand, zero),
+            cx=gx, cy=gy, cz=gz,
+            radius=jnp.where(cand_on, s.radius[idx], zero),
+            alb=tuple(jnp.where(cand_on, s.albedo[idx, c3], zero)
+                      for c3 in range(3)),
+            em=tuple(jnp.where(cand_on, s.emissive[idx, c3], zero)
+                     for c3 in range(3)),
+            is_lam=s.mat_is_lam[idx] & cand_on,
+            is_met=s.mat_is_met[idx] & cand_on,
+            is_die=s.mat_is_die[idx] & cand_on,
+        )
+
+    def lights_occlusion_proximity(self, ro, dirs, light_ids, t_min, t_ls):
+        """Chunk-scan form of tracecore._lights_occlusion_proximity (the
+        soft NEE shadow-boundary gradient): per light, the max occluder
+        discriminant over spheres whose closest approach lies inside the
+        shadow segment.  One scan answers all lights (shared center
+        offsets per chunk, like lights_visible); per-light AABB gating on
+        the (t_min, t_l)-clipped inflated slab test -- pruned occluders
+        have d < -8*eps_scale where eps_scale ~ the smallest useful
+        sigmoid argument, so both sides of the straight-through soft
+        visibility are unaffected (see silhouette_chunks for the bound).
+        Inflation reuses the silhouette margin with eps=1 (d < -8 prunes
+        only sigmoid(-8/eps)-level weights for any eps <= 1)."""
+        s = self._s
+        C, K = s.chunk_aabb.shape[0], s.chunk
+        n_l = len(light_ids)
+        zero = ro[0] * 0.0
+        lane_nd = ro[0].ndim
+        ksl = (slice(None),) + (None,) * lane_nd
+
+        inv_ds = [tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                        jnp.where(d >= 0, 1e-12, -1e-12), d)
+                        for d in l) for l in dirs]
+        delta = jnp.sqrt(self._chunk_rmax ** 2 + 8.0)
+
+        xs = dict(
+            cx=s.center[:, 0].reshape(C, K),
+            cy=s.center[:, 1].reshape(C, K),
+            cz=s.center[:, 2].reshape(C, K),
+            sqr=self._sq_radius.reshape(C, K),
+            aabb=s.chunk_aabb,
+            delta=delta,
+            base=jnp.arange(C, dtype=jnp.int32) * K,
+        )
+
+        def step(d_occs, ch):
+            out = []
+            for k in range(n_l):
+                t0 = zero + t_min
+                t1 = t_ls[k]
+                for a in range(3):
+                    lo = (ch["aabb"][a] - ch["delta"] - ro[a]) \
+                        * inv_ds[k][a]
+                    hi = (ch["aabb"][3 + a] + ch["delta"] - ro[a]) \
+                        * inv_ds[k][a]
+                    t0 = jnp.maximum(t0, jnp.minimum(lo, hi))
+                    t1 = jnp.minimum(t1, jnp.maximum(lo, hi))
+                live = t0 <= t1
+
+                def detail_k(d_occ, k=k):
+                    cox = ch["cx"][ksl] - ro[0]
+                    coy = ch["cy"][ksl] - ro[1]
+                    coz = ch["cz"][ksl] - ro[2]
+                    cq = cox * cox + coy * coy + coz * coz - ch["sqr"][ksl]
+                    l = dirs[k]
+                    nb = cox * l[0] + coy * l[1] + coz * l[2]
+                    d = nb * nb - cq
+                    idx = ch["base"] + jnp.arange(K, dtype=jnp.int32)
+                    in_seg = (nb > t_min) & (nb < t_ls[k]) \
+                        & (idx != light_ids[k])[ksl]
+                    d_in = jnp.where(in_seg, d, -1e9)
+                    return jnp.maximum(d_occ, jnp.max(d_in, axis=0))
+
+                out.append(jax.lax.cond(jnp.any(live), detail_k,
+                                        lambda d: d, d_occs[k]))
+            return tuple(out), None
+
+        d0 = tuple(zero - 1e9 for _ in range(n_l))
+        d_occs, _ = jax.lax.scan(step, d0, xs, unroll=_SCAN_UNROLL)
+        return list(d_occs)
 
     def hit_chunks(self, ro, rd, t_min, t_max, want_material=True):
         """Nearest hit over all chunks: lax.scan over the chunk axis; each
