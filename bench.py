@@ -51,21 +51,31 @@ def main():
     tile = os.environ.get("BENCH_TILE")  # e.g. "16,128" (tuning runs)
     ppl = os.environ.get("BENCH_PPL")    # pixels per lane (tuning runs)
     if backend == "pallas" and not tile and not ppl:
-        # Tuned on the real chip (docs/measured/bench_k*.json ladder,
-        # round 2): pix_per_lane=15 with a 120x128 tile, 271.5 -> 353.5
-        # Mray/s over the K=1 default.  Images are bit-identical for any
-        # K (tests/test_pallas.py::test_pix_per_lane_bit_identical,
-        # including the shipped K=15/120x128 shape), so the tuning is
-        # pure throughput.  The tuned default applies only when no
-        # BENCH_TILE/BENCH_PPL override is present: a tile-only override
-        # would silently drop K=15 to 1 (tile_h % 15 != 0) and make
-        # sweep A/Bs incomparable.
-        cfg = cfg.replace(pix_per_lane=15, tile_h=120, tile_w=128)
+        # Tuned on the real chip: pix_per_lane=15 with a 360x128 tile
+        # (lane block (24,128), 20 grid tiles/frame).  Round-2 ladder
+        # (docs/measured/bench_k*.json): K=15/120x128 at 353.5 vs 271.5
+        # at K=1.  Round-4 tile-height ladder (same K, quiet-window
+        # best-of-6, docs/measured/bench_tile_r4.json): 120 -> 399, 240
+        # -> 431, 360 -> 442, 720 -> 101 (register spill cliff at lane
+        # block (48,128)); taller tiles amortize per-tile fixed cost
+        # (zeroing, scene hoist, ramp-up/drain of the lane refill) over
+        # 3x the lanes while staying under the vreg budget.  Images stay
+        # within the pix_per_lane contract (exact ray counts; bit-equal
+        # up to compiler-instance contraction, tests/test_pallas.py).
+        # The tuned default applies only when no BENCH_TILE/BENCH_PPL
+        # override is present: a tile-only override would silently drop
+        # K=15 to 1 (tile_h % 15 != 0) and make sweep A/Bs incomparable.
+        cfg = cfg.replace(pix_per_lane=15, tile_h=360, tile_w=128)
     if tile:
         th, tw = (int(x) for x in tile.split(","))
         cfg = cfg.replace(tile_h=th, tile_w=tw)
     if ppl:
         cfg = cfg.replace(pix_per_lane=int(ppl))
+    merged = os.environ.get("BENCH_MERGED")  # A/B the pipelined loop
+    if merged is not None:
+        cfg = cfg.replace(merged_wavefront=merged != "0")
+    if cfg.merged_wavefront:
+        log("bench: merged (software-pipelined) wavefront ON")
     if backend == "pallas":
         # Log the K the kernel will actually use (it falls back to 1 when
         # tile_h cannot host K aligned row bands) so sweeps are

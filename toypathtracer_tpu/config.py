@@ -59,8 +59,12 @@ class RenderConfig:
     # depth-correlated; summing K decorrelated pixels shrinks the tile's
     # slowest-lane tail, measured 2.27x the ideal trip count at K=1) and
     # shrinks the loop's vector registers (lane block is (tile_h/K,
-    # tile_w)).  The image is bit-identical for any K (per-pixel RNG
-    # streams and accumulation order are mapping-invariant).  Constraints:
+    # tile_w)).  Per-pixel RNG streams, decisions, and accumulation
+    # order are mapping-invariant, so ray counts are EXACT for any K and
+    # images agree to the last ulp the compiler instance allows
+    # (bit-identical per shape on most builds; XLA may contract two
+    # K-variant programs differently -- measured <= 2 ulp on 0.3% of
+    # pixels at one shape/machine, tests/test_pallas.py).  Constraints:
     # tile_h % K == 0 and (tile_h/K) % 8 == 0; the Pallas renderer falls
     # back to K=1 for calls whose sub-image needs tile padding (per-lane
     # ray counts would mix visible and padded pixels).
@@ -70,6 +74,24 @@ class RenderConfig:
     # forward kernel's.
     grad_tile_h: int = 8
     grad_tile_w: int = 128
+
+    # Software-pipelined (merged-traversal) wavefront: carry each ray's
+    # nearest-hit (t, id) one iteration ahead so ONE sphere loop per
+    # iteration answers the next ray's argmin AND this bounce's NEE
+    # shadow occlusions from the shared hit-point origin -- the center
+    # offset and c = |co|^2 - r^2 (9 VPU ops/sphere) are computed once
+    # instead of once per traversal (census: -422 ops/iteration, -7.9%,
+    # tools/op_census.py).  Per-lane RNG streams, ray counts, and flush
+    # order are IDENTICAL to the non-pipelined loop (asserted in
+    # tests/test_merged.py); pixel values agree at the usual
+    # cross-formulation ulp-drift level.  Forward fast path only
+    # (lockstep/differentiable and chunked scaled ports are unaffected).
+    # Default OFF: on-chip A/B measured the op cut WALL-NEUTRAL on v5e
+    # (the pipeline carries 2 extra vectors and runs +1 trailing
+    # iteration per lane; docs/PERFORMANCE.md round-4 log) -- shipped as
+    # a tested opt-in for shapes/scenes where the traversal share is
+    # higher (more spheres, fewer lights).
+    merged_wavefront: bool = False
 
     # Soft-silhouette gradient estimator (differentiable path only; the
     # forward image is bit-identical regardless).  When > 0, the lockstep

@@ -58,6 +58,32 @@ from .scene import Scene
 # Scene fields that carry gradients (the differentiable parameter set).
 PARAM_FIELDS = ("center", "radius", "albedo", "emissive", "roughness", "ri")
 
+# JAX versions on which the check_vma=False cotangent contract of the
+# pallas+mesh gradient path was verified (see make_sharded_value_and_grad):
+# with check_vma off, shard_map AD does NOT insert the replicated-input
+# cotangent psum and the explicit psum below is required exactly once.
+# If a future JAX starts inserting it regardless, grads double-count by
+# the mesh size -- the fast-gate test asserts the end result; this pin
+# turns a silent behavior change into a loud warning.
+_CHECK_VMA_VERIFIED = ((0, 9), (0, 99))
+
+
+def _check_vma_psum_contract():
+    import warnings
+    try:
+        ver = tuple(int(p) for p in jax.__version__.split(".")[:2])
+    except ValueError:  # pragma: no cover - exotic version strings
+        return
+    lo, hi = _CHECK_VMA_VERIFIED
+    if not (lo <= ver <= hi):
+        warnings.warn(
+            f"jax {jax.__version__} is outside the range verified for the "
+            "check_vma=False pallas+mesh gradient contract "
+            f"({lo}..{hi}); run tests/test_sharding.py::"
+            "test_sharded_pallas_grads_match_single_device to re-verify "
+            "(an automatic replicated-cotangent psum would double-count "
+            "gradients by the mesh size)", stacklevel=3)
+
 
 def scene_grad_mask(scene: Scene, trainable: Sequence[str]) -> Scene:
     """A Scene-shaped pytree of 0/1 floats selecting trainable fields."""
@@ -119,18 +145,27 @@ def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
 
 
 def multiview_render_loss(scene: Scene, cameras, targets,
-                          cfg: RenderConfig, frame, loss_fn=image_l2):
+                          cfg: RenderConfig, frame, loss_fn=image_l2,
+                          backend: str = "jnp", interpret: bool = False):
     """Mean pixel loss over several (camera, target) views.
 
     Single-view geometry recovery is identifiability-limited: depth along
     the view ray and occluded parameters are unconstrained.  Extra views
     triangulate.  `cameras` is a static tuple of CameraSpec; each view
     renders `scene.replace(camera=cam)` (the camera is a static Scene
-    field, so the views unroll at trace time)."""
+    field, so the views unroll at trace time -- with backend="pallas"
+    each view gets its own fused forward + in-kernel-vjp gradient kernel
+    instance, and the per-view scene cotangents sum through AD)."""
     total = jnp.float32(0.0)
     for cam, target in zip(cameras, targets):
-        img, _ = wavefront.render_frame(scene.replace(camera=cam), cfg,
-                                        frame, differentiable=True)
+        view = scene.replace(camera=cam)
+        if backend == "pallas":
+            from .ops.pallas_grad import render_frame_pallas_diff
+            img, _ = render_frame_pallas_diff(view, cfg, frame,
+                                              interpret=interpret)
+        else:
+            img, _ = wavefront.render_frame(view, cfg, frame,
+                                            differentiable=True)
         total = total + loss_fn(img, target)
     return total / len(cameras)
 
@@ -157,6 +192,8 @@ def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh,
     over ICI is inserted by shard_map's AD (replicated input), exactly as
     in the jnp path.
     """
+    if backend == "pallas":
+        _check_vma_psum_contract()
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     if cfg.height % n != 0:
@@ -198,7 +235,11 @@ def make_sharded_value_and_grad(cfg: RenderConfig, mesh: Mesh,
         # OFF (pallas_call metadata limitation), which also disables the
         # varying-axes tracking that drives that automatic psum -- the
         # returned grads are the LOCAL band's (measured: sharded grads ==
-        # shard-0 grads without this), so psum explicitly.
+        # shard-0 grads without this), so psum explicitly.  This split is
+        # an undocumented JAX internal: _check_vma_psum_contract() pins
+        # the version range it was verified on, and
+        # tests/test_sharding.py::test_sharded_pallas_grads_match_single_device
+        # (fast gate) asserts the end result every run.
         if backend == "pallas":
             grads = jax.lax.psum(grads, axis)
         # The loss is a per-shard partial sum and IS psum'd explicitly.
@@ -246,9 +287,10 @@ class InverseRenderer:
     # "jnp": reverse-mode XLA through the lockstep loop (jax.checkpoint).
     # "pallas": fused forward + fused in-kernel-vjp backward kernels
     # (ops/pallas_grad.py); composes with mesh (each shard runs the
-    # gradient kernel on its row band, scene cotangents psum'd over ICI).
-    # pallas + multi-view remains single-feature (the gradient kernel's
-    # camera is per-call static -- render per-view losses separately).
+    # gradient kernel on its row band, scene cotangents psum'd over ICI)
+    # AND with cameras (views unroll -- one kernel instance per static
+    # camera), so the full configuration of the north star exists:
+    # multi-chip, multi-view, kernel-speed gradients.
     backend: str = "jnp"
     # interpret=True runs the Pallas kernels in interpret mode (CPU
     # testing of the backend="pallas" training step; no effect on jnp).
@@ -258,8 +300,6 @@ class InverseRenderer:
         adam = optax.adam(self.learning_rate, eps=self.adam_eps)
         self.opt = adam if self.clip_norm is None else optax.chain(
             optax.clip_by_global_norm(self.clip_norm), adam)
-        if self.backend == "pallas" and self.cameras is not None:
-            raise ValueError("backend='pallas' is single-view")
         if self.mesh is not None:
             if self.loss_fn is not image_l2:
                 raise ValueError("mesh sharding implements image_l2 only "
@@ -270,7 +310,8 @@ class InverseRenderer:
         elif self.cameras is not None:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: multiview_render_loss(
-                    s, self.cameras, t, self.cfg, f, self.loss_fn))
+                    s, self.cameras, t, self.cfg, f, self.loss_fn,
+                    self.backend, self.interpret))
         else:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: render_loss(s, t, self.cfg, f,

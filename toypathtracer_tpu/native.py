@@ -25,15 +25,28 @@ def _build_on_demand(path: str) -> bool:
     (Cs/Program.cs:34-59) instead of silently degrading to numpy."""
     import shutil
     import subprocess
+    import tempfile
     src = os.path.join(os.path.dirname(__file__), os.pardir, "native",
                        "tptnative.cpp")
     if not os.path.exists(src) or shutil.which("g++") is None:
         return False
+    # Compile to a temp file in the SAME directory and rename into place:
+    # os.rename is atomic on POSIX, so a concurrent process (pytest-xdist,
+    # multi-process launch) can never ctypes.CDLL a partially written .so
+    # (the OSError there is swallowed and would silently degrade to numpy;
+    # advisor round 3).
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(path))
+    os.close(fd)
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-o", path, src],
+            ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, src],
             check=True, capture_output=True, timeout=120)
+        os.rename(tmp, path)
     except (subprocess.SubprocessError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
     return os.path.exists(path)
 

@@ -520,7 +520,77 @@ def hit_spheres(port: ScenePort, ro, rd, t_min, t_max, want_material=True,
         return HitResult(hit_t, hit_id, zero, zero, zero, zero,
                          none3, none3, zero, zero,
                          hit_id < -1, hit_id < -1, hit_id < -1)
+    return gather_winner(port, hit_t, hit_id, want_material, want_geometry)
 
+
+def _gather_scan(stacked, n, hit_t, hit_id, want_material=True,
+                 want_geometry=True) -> HitResult:
+    """Rolled (lax.scan) twin of the unrolled one-hot gather in
+    gather_winner: a select-chain keyed on idx == hit_id.  Exactly the
+    winner's attribute either way (exact zeros / never-taken selects), so
+    the two forms are bit-identical -- same argument as the fused gather
+    in _hit_spheres_scan."""
+    zero = hit_t * 0.0
+    false_init = zero > 1.0
+    acc = {}
+    keys = []
+    if want_geometry:
+        acc.update(cx=zero, cy=zero, cz=zero, inv_radius=zero)
+        keys += ["cx", "cy", "cz", "inv_radius"]
+    if want_material:
+        acc.update(alb_r=zero, alb_g=zero, alb_b=zero,
+                   em_r=zero, em_g=zero, em_b=zero, roughness=zero,
+                   ri=zero, is_lam=false_init, is_met=false_init,
+                   is_die=false_init)
+        keys += ["alb_r", "alb_g", "alb_b", "em_r", "em_g", "em_b",
+                 "roughness", "ri", "is_lam", "is_met", "is_die"]
+    xs = {k: stacked[k][:n] for k in keys}
+    xs["idx"] = jnp.arange(n, dtype=jnp.int32)
+
+    def body(sel, sp):
+        msk = sp["idx"] == hit_id
+        return {k: jnp.where(msk, sp[k], sel[k]) for k in sel}, None
+
+    sel, _ = jax.lax.scan(body, acc, xs)
+    none3 = (zero, zero, zero)
+    false_ = hit_id < -1
+    gx = sel["cx"] if want_geometry else zero
+    gy = sel["cy"] if want_geometry else zero
+    gz = sel["cz"] if want_geometry else zero
+    gi = sel["inv_radius"] if want_geometry else zero
+    if not want_material:
+        return HitResult(hit_t, hit_id, gx, gy, gz, gi, none3, none3,
+                         zero, zero, false_, false_, false_)
+    return HitResult(
+        hit_t, hit_id, gx, gy, gz, gi,
+        (sel["alb_r"], sel["alb_g"], sel["alb_b"]),
+        (sel["em_r"], sel["em_g"], sel["em_b"]),
+        sel["roughness"], sel["ri"], sel["is_lam"], sel["is_met"],
+        sel["is_die"],
+    )
+
+
+def gather_winner(port: ScenePort, hit_t, hit_id, want_material=True,
+                  want_geometry=True) -> HitResult:
+    """Phase B of the nearest-hit query: fetch the winning sphere's
+    attributes from its id, as an EXACT one-hot accumulation
+    attr = sum_i [hit_id == i] * attr_i -- every term independent, so the
+    compiler can pipeline it freely (unlike a select chain).  One-hot sums
+    add exact zeros, so results are bit-identical to a select-chain form
+    (and to the fused scan gather in _hit_spheres_scan).
+
+    Standalone (round 4) so the merged-traversal wavefront can gather a
+    CARRIED (t, id) pair one iteration after its argmin (the software
+    pipeline of render_pixels_fused merged=True)."""
+    stacked = port.stacked()
+    if stacked is not None:
+        return _gather_scan(stacked, port.n, hit_t, hit_id,
+                            want_material, want_geometry)
+    shape = jnp.shape(hit_id)
+    # constant-zero accumulator init, NOT hit_t * 0.0: the values are the
+    # same, but a derived zero perturbs XLA's fusion/contraction choices
+    # shape-dependently and cost the K=1-vs-K=15 bit-identity (ulp drift)
+    zero = jnp.zeros(shape, jnp.float32)
     geo_keys = ("cx", "cy", "cz", "inv_radius") if want_geometry else ()
     mat_keys = ("alb_r", "alb_g", "alb_b", "em_r", "em_g", "em_b",
                 "roughness", "ri") if want_material else ()
@@ -721,7 +791,17 @@ def _sphere_t(sp: SphereData, ro, rd, t_min, safe: bool = True):
     cheaper per sphere than the NaN-free-gradient form; valid only on
     paths reverse-mode AD either never touches (the Pallas kernel) or
     touches with symbolically-zero cotangents (boolean-only consumers
-    like light_visible)."""
+    like light_visible).
+
+    A round-4 attempt to drop the max (bare sqrt, NaN roots on miss
+    lanes) was REVERTED: the argument "NaN loses every IEEE comparison
+    so masks stay false" does not survive compilation -- XLA may compile
+    NaN-involving compares with fast-math semantics, and the outcome
+    then differs between otherwise-identical programs (measured: K=1 vs
+    K=15 at the 120-row tile lost bit-identity with real per-pixel
+    decision flips; both K=2/3 shapes happened to agree).  Keeping every
+    intermediate REAL-valued is what makes the cross-shape/cross-backend
+    bit-identity contract compiler-proof."""
     cox = sp.cx - ro[0]
     coy = sp.cy - ro[1]
     coz = sp.cz - ro[2]
@@ -776,21 +856,34 @@ def _occ_test(nb, c, t_min, t_l):
       t1 > t_min <=>  nb + s > t_min <=>  (a > 0) | (d > a^2)
     with s = sqrt(d), a = nb - t_min, b = nb - t_l.
 
+    Sign-preserving-square form (round 4; -1 VPU op and -2 compare slots
+    per sphere per light vs the round-3 boolean pair form -- census delta
+    -92 ops/iteration, tools/op_census.py): with x*|x| strictly monotone
+    and exactly x^2 for x >= 0,
+
+      (b < 0) | (d > b^2)   ==[given d > 0]==   d > b*|b|
+      (a > 0) | (d > a^2)   ==[given d > 0]==   d > -(a*|a|)
+
+    (for b < 0, b*|b| = -b^2 < 0 < d makes the compare automatically true,
+    exactly like the disjunct it replaces; the multiply rounds identically
+    to b*b when b >= 0, so every boolean is bit-equal to the pair form).
+
     Interval overlap equals the reference's nearest-valid-root-in-segment
     test EXCEPT when the ray starts inside this sphere and exits beyond
     the light (t0 <= t_min < t_l <= t1): overlap says occluded, the
     nearest-hit rule says the light (inside this sphere!) is closer.
     That needs the light sphere's surface to be EMBEDDED in the occluder
     -- impossible in the reference scenes (spheres at most tangent,
-    Test.cpp:13-31) and in the scaled fields (lights float above the
-    sphere field).  The golden-parity path keeps the exact root-based
-    comparisons (Samplers.exact_shadow)."""
+    Test.cpp:13-31; scene.validate_scene warns for user scenes) and in
+    the scaled fields (lights float above the sphere field).  The
+    golden-parity path keeps the exact root-based comparisons
+    (Samplers.exact_shadow)."""
     d = nb * nb - c
     a = nb - t_min
     b = nb - t_l
     return ((d > 0.0)
-            & ((b < 0.0) | (d > b * b))
-            & ((a > 0.0) | (d > a * a)))
+            & (d > b * jnp.abs(b))
+            & (d + a * jnp.abs(a) > 0.0))
 
 
 def lights_visible_fused(port: ScenePort, ro, dirs, light_ids, t_min, t_max):
@@ -850,6 +943,94 @@ def lights_visible_fused(port: ScenePort, ro, dirs, light_ids, t_min, t_max):
                 nb = cox * l[0] + coy * l[1] + coz * l[2]
                 occs[k] = occs[k] | _occ_test(nb, c, t_min, t_ls[k])
     return [lh & ~occ for lh, occ in zip(light_hits, occs)]
+
+
+def merged_traversal(port: ScenePort, ro, rdq, t_min, t_max, ldirs,
+                     light_ids, t_ls):
+    """ONE sphere loop answering the next ray's nearest-hit argmin AND all
+    shadow rays' occlusion booleans -- every query leaves the SAME per-lane
+    origin `ro` (a scattered lane's next ray and its NEE shadow rays all
+    start at the bounce's hit point), so the center offset `co` and
+    `c = dot(co, co) - r^2` (9 VPU ops per sphere) are computed once
+    instead of once per traversal.  This is the round-4 software-pipelined
+    wavefront's inner loop (render_pixels_fused merged=True): the argmin
+    result is CARRIED to the next iteration's classify, the occlusions are
+    consumed this iteration.
+
+    Every expression matches the separate traversals (_sphere_t with
+    safe=False + _occ_test of lights_visible_fused) term for term, so
+    (hit_t, hit_id, occs) are bit-identical to running hit_spheres and
+    lights_visible_fused back to back from the same origin.  Returns
+    (hit_t, hit_id, [occluded_k]); the winner's attributes are fetched
+    later by gather_winner (deferred, so the loop carry stays 2 arrays).
+    """
+    n_l = len(light_ids)
+    shape = jnp.shape(ro[0])
+    f32 = jnp.float32
+    false0 = ro[0] * 0.0 > 1.0
+    stacked = port.stacked()
+    if stacked is not None:
+        zero = ro[0] * 0.0
+        init = (zero + t_max, zero.astype(jnp.int32) - 1,
+                tuple(false0 for _ in range(n_l)))
+        xs = {k: stacked[k][:port.n]
+              for k in ("cx", "cy", "cz", "sq_radius")}
+        xs["idx"] = jnp.arange(port.n, dtype=jnp.int32)
+
+        def body(carry, sp):
+            hit_t, hit_id, occs = carry
+            cox = sp["cx"] - ro[0]
+            coy = sp["cy"] - ro[1]
+            coz = sp["cz"] - ro[2]
+            c = cox * cox + coy * coy + coz * coz - sp["sq_radius"]
+            # argmin part (the _sphere_t expressions on hoisted co/c)
+            nb = cox * rdq[0] + coy * rdq[1] + coz * rdq[2]
+            discr = nb * nb - c
+            discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+            t0 = nb - discr_sq
+            t1 = nb + discr_sq
+            t = jnp.where(t0 > t_min, t0, t1)
+            msk = (discr > 0.0) & (t > t_min) & (t < hit_t)
+            hit_t = jnp.where(msk, t, hit_t)
+            hit_id = jnp.where(msk, sp["idx"], hit_id)
+            # occlusion part per light (nb is the only per-light term)
+            out = []
+            for k in range(n_l):
+                l = ldirs[k]
+                nbk = cox * l[0] + coy * l[1] + coz * l[2]
+                blocks = _occ_test(nbk, c, t_min, t_ls[k])
+                out.append(occs[k]
+                           | (blocks & (sp["idx"] != light_ids[k])))
+            return (hit_t, hit_id, tuple(out)), None
+
+        (hit_t, hit_id, occs), _ = jax.lax.scan(body, init, xs)
+        return hit_t, hit_id, list(occs)
+
+    hit_t = jnp.full(shape, t_max, f32)
+    hit_id = jnp.full(shape, -1, jnp.int32)
+    occs = [false0] * n_l
+    for i in range(port.n):
+        sp = port.sphere(i)
+        cox = sp.cx - ro[0]
+        coy = sp.cy - ro[1]
+        coz = sp.cz - ro[2]
+        c = cox * cox + coy * coy + coz * coz - sp.sq_radius
+        nb = cox * rdq[0] + coy * rdq[1] + coz * rdq[2]
+        discr = nb * nb - c
+        discr_sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+        t0 = nb - discr_sq
+        t1 = nb + discr_sq
+        t = jnp.where(t0 > t_min, t0, t1)
+        msk = (discr > 0.0) & (t > t_min) & (t < hit_t)
+        hit_t = jnp.where(msk, t, hit_t)
+        hit_id = jnp.where(msk, i, hit_id)
+        for k in range(n_l):
+            if i == light_ids[k]:
+                continue
+            l = ldirs[k]
+            nbk = cox * l[0] + coy * l[1] + coz * l[2]
+            occs[k] = occs[k] | _occ_test(nbk, c, t_min, t_ls[k])
+    return hit_t, hit_id, occs
 
 
 def light_visible(port: ScenePort, ro, rd, t_min, t_max, light_id: int,
@@ -974,6 +1155,47 @@ def _lights_occlusion_proximity(port, ro, dirs, light_ids, t_min, t_ls):
     return out
 
 
+def _nee_cones(port, cfg, pos, hit_id, active, state,
+               samplers: Samplers):
+    """Phase 1 of NEE -- per-light solid-angle cone sample (reference:
+    Test.cpp:94-121).  RNG draw order is exactly the reference's single
+    loop: 2 gated draws per light, in emissive_ids order.  Returns
+    (state, cones) with cones = [(light_id, material, lane_on, l,
+    cos_a_max)]."""
+    shape = jnp.shape(pos[0])
+    cones = []
+    for e in port.emissive_ids:
+        es = port.sphere(e)
+        em = port.material(e)
+        not_self = hit_id != e  # self-skip (ComputeShader.hlsl:204)
+        lane_on = active & not_self
+
+        sc = (es.cx, es.cy, es.cz)
+        sw = normalize3(sub3(sc, pos))
+        up = sel3(jnp.abs(sw[0]) > 0.01,
+                  splat3(shape, (0.0, 1.0, 0.0)),
+                  splat3(shape, (1.0, 0.0, 0.0)))
+        su = normalize3(cross3(up, sw))
+        sv = cross3(sw, su)
+        d2 = dot3(sub3(pos, sc), sub3(pos, sc))
+        cos_a_max = safe_sqrt_pos(
+            1.0 - es.radius * es.radius / d2)
+        st2, eps1 = rand01(state)
+        st2, eps2 = rand01(st2)
+        # lanes that skipped (self) must not consume the two draws
+        state = jnp.where(lane_on, st2, state)
+        cos_a = 1.0 - eps1 + eps1 * cos_a_max
+        sin_a = safe_sqrt_pos(1.0 - cos_a * cos_a)
+        phi = jnp.float32(2.0 * KPI) * eps2
+        l = add3(
+            add3(scale3(su, jnp.cos(phi) * sin_a),
+                 scale3(sv, jnp.sin(phi) * sin_a)),
+            scale3(sw, cos_a),
+        )
+        cones.append((e, em, lane_on, l, cos_a_max))
+    return state, cones
+
+
 def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
                      samplers: Samplers, soft: bool = False):
     """Lambert scatter + NEE (reference: Test.cpp:86-135,
@@ -997,39 +1219,8 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
     shadow_count = jnp.zeros(shape, jnp.int32)
 
     if cfg.do_light_sampling:
-        # Phase 1 -- per-light cone sample (reference: Test.cpp:94-121).
-        # RNG draw order is exactly the reference's single loop: 2 gated
-        # draws per light, in emissive_ids order.
-        cones = []
-        for e in port.emissive_ids:
-            es = port.sphere(e)
-            em = port.material(e)
-            not_self = hit_id != e  # self-skip (ComputeShader.hlsl:204)
-            lane_on = active & not_self
-
-            sc = (es.cx, es.cy, es.cz)
-            sw = normalize3(sub3(sc, pos))
-            up = sel3(jnp.abs(sw[0]) > 0.01,
-                      splat3(shape, (0.0, 1.0, 0.0)),
-                      splat3(shape, (1.0, 0.0, 0.0)))
-            su = normalize3(cross3(up, sw))
-            sv = cross3(sw, su)
-            d2 = dot3(sub3(pos, sc), sub3(pos, sc))
-            cos_a_max = safe_sqrt_pos(
-                1.0 - es.radius * es.radius / d2)
-            st2, eps1 = rand01(state)
-            st2, eps2 = rand01(st2)
-            # lanes that skipped (self) must not consume the two draws
-            state = jnp.where(lane_on, st2, state)
-            cos_a = 1.0 - eps1 + eps1 * cos_a_max
-            sin_a = safe_sqrt_pos(1.0 - cos_a * cos_a)
-            phi = jnp.float32(2.0 * KPI) * eps2
-            l = add3(
-                add3(scale3(su, jnp.cos(phi) * sin_a),
-                     scale3(sv, jnp.sin(phi) * sin_a)),
-                scale3(sw, cos_a),
-            )
-            cones.append((e, em, lane_on, l, cos_a_max))
+        state, cones = _nee_cones(port, cfg, pos, hit_id, active, state,
+                                  samplers)
 
         # Phase 2 -- visibility: the nearest hit along each shadow ray
         # must be its light.  Fast path fuses all lights' occlusion
@@ -1069,8 +1260,11 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
             prox = getattr(port, "lights_occlusion_proximity",
                            None)
             if prox is not None:
+                # eps threaded so the port's gradient-invisible pruning
+                # margin scales with the sigmoid the caller actually uses
                 d_occs = prox(pos, [c[3] for c in cones],
-                              [c[0] for c in cones], cfg.min_t, t_ls)
+                              [c[0] for c in cones], cfg.min_t, t_ls,
+                              eps=cfg.soft_silhouette_eps)
             else:
                 d_occs = _lights_occlusion_proximity(
                     port, pos, [c[3] for c in cones],
@@ -1078,50 +1272,61 @@ def _scatter_lambert(port, cfg, alb, pos, normal, rd, hit_id, active, state,
         else:
             d_occs = [None] * len(cones)
 
-        # Phase 3 -- contributions, in the reference's light order.
-        nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
-        for (e, em, lane_on, l, cos_a_max), see, d_occ in zip(cones, sees,
-                                                              d_occs):
-            omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
-            # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
-            # -- association as in Test.cpp:131 / hlsl:232.
-            fac = jnp.maximum(0.0, dot3(l, nl)) * omega / jnp.float32(KPI)
-            if soft_shadow:
-                # Straight-through soft visibility: forward == the hard
-                # boolean bit-for-bit (where the sigmoid side agrees,
-                # Sterbenz makes hard-soft+soft exact; where the range
-                # tests disagree with the proximity sign, fall back to
-                # hard), backward == sigma'(-d_occ/eps) into occluder
-                # geometry (the shadow test, ComputeShader.hlsl:222).
-                eps = jnp.float32(cfg.soft_silhouette_eps)
-                see_f = see.astype(jnp.float32)
-                vis_s = jax.nn.sigmoid(-d_occ / eps)
-                agree = see == (d_occ < 0.0)
-                vis_st = jax.lax.stop_gradient(see_f - vis_s) + vis_s
-                vis = jnp.where(jax.lax.stop_gradient(agree), vis_st,
-                                see_f)
-                lane_f = jax.lax.stop_gradient(lane_on.astype(jnp.float32))
-                light_e = (
-                    light_e[0] + (alb[0] * em.em[0]) * fac * vis * lane_f,
-                    light_e[1] + (alb[1] * em.em[1]) * fac * vis * lane_f,
-                    light_e[2] + (alb[2] * em.em[2]) * fac * vis * lane_f,
-                )
-            else:
-                contrib_on = lane_on & see
-                light_e = (
-                    jnp.where(contrib_on,
-                              light_e[0] + (alb[0] * em.em[0]) * fac,
-                              light_e[0]),
-                    jnp.where(contrib_on,
-                              light_e[1] + (alb[1] * em.em[1]) * fac,
-                              light_e[1]),
-                    jnp.where(contrib_on,
-                              light_e[2] + (alb[2] * em.em[2]) * fac,
-                              light_e[2]),
-                )
-            shadow_count = shadow_count + lane_on.astype(jnp.int32)
+        light_e, shadow_count = _nee_light_e(cfg, cones, sees, d_occs,
+                                             alb, normal, rd, soft_shadow)
 
     return state, sdir, light_e, shadow_count
+
+
+def _nee_light_e(cfg, cones, sees, d_occs, alb, normal, rd,
+                 soft_shadow: bool):
+    """Phase 3 of NEE -- contributions, in the reference's light order
+    (Test.cpp:123-133).  Returns (light_e vec3, shadow_count int32)."""
+    shape = jnp.shape(normal[0])
+    light_e = splat3(shape, (0.0, 0.0, 0.0))
+    shadow_count = jnp.zeros(shape, jnp.int32)
+    nl = sel3(dot3(normal, rd) < 0.0, normal, neg3(normal))
+    for (e, em, lane_on, l, cos_a_max), see, d_occ in zip(cones, sees,
+                                                          d_occs):
+        omega = jnp.float32(2.0 * KPI) * (1.0 - cos_a_max)
+        # outLightE += (albedo * emissive) * (max(0,dot(l,nl))*omega/PI)
+        # -- association as in Test.cpp:131 / hlsl:232.
+        fac = jnp.maximum(0.0, dot3(l, nl)) * omega / jnp.float32(KPI)
+        if soft_shadow:
+            # Straight-through soft visibility: forward == the hard
+            # boolean bit-for-bit (where the sigmoid side agrees,
+            # Sterbenz makes hard-soft+soft exact; where the range
+            # tests disagree with the proximity sign, fall back to
+            # hard), backward == sigma'(-d_occ/eps) into occluder
+            # geometry (the shadow test, ComputeShader.hlsl:222).
+            eps = jnp.float32(cfg.soft_silhouette_eps)
+            see_f = see.astype(jnp.float32)
+            vis_s = jax.nn.sigmoid(-d_occ / eps)
+            agree = see == (d_occ < 0.0)
+            vis_st = jax.lax.stop_gradient(see_f - vis_s) + vis_s
+            vis = jnp.where(jax.lax.stop_gradient(agree), vis_st,
+                            see_f)
+            lane_f = jax.lax.stop_gradient(lane_on.astype(jnp.float32))
+            light_e = (
+                light_e[0] + (alb[0] * em.em[0]) * fac * vis * lane_f,
+                light_e[1] + (alb[1] * em.em[1]) * fac * vis * lane_f,
+                light_e[2] + (alb[2] * em.em[2]) * fac * vis * lane_f,
+            )
+        else:
+            contrib_on = lane_on & see
+            light_e = (
+                jnp.where(contrib_on,
+                          light_e[0] + (alb[0] * em.em[0]) * fac,
+                          light_e[0]),
+                jnp.where(contrib_on,
+                          light_e[1] + (alb[1] * em.em[1]) * fac,
+                          light_e[1]),
+                jnp.where(contrib_on,
+                          light_e[2] + (alb[2] * em.em[2]) * fac,
+                          light_e[2]),
+            )
+        shadow_count = shadow_count + lane_on.astype(jnp.int32)
+    return light_e, shadow_count
 
 
 def _tangent_radiance(port: ScenePort, cfg: RenderConfig, q: SilhouetteInfo,
@@ -1166,6 +1371,34 @@ def _tangent_radiance(port: ScenePort, cfg: RenderConfig, q: SilhouetteInfo,
         lam_f * (q.em[ch] + q.alb[ch] * (nee[ch] + sky_n[ch]))
         + met_f * (q.alb[ch] * sky_d[ch]) + die_f * sky_d[ch]
         for ch in range(3))
+
+
+def _scatter_metal(state, refl, rough, samplers: Samplers):
+    """Metal scatter (reference: Test.cpp:137-150): mirror + roughness
+    fuzz.  Consumes the sampler's 3 draws on every lane (per-lane RNG
+    threading selects the consuming branch's state afterwards)."""
+    st_m, rius = samplers.in_unit_sphere(state)
+    return st_m, normalize3(add3(refl, scale3(rius, rough)))
+
+
+def _scatter_dielectric(state, rd, normal, refl, ri):
+    """Dielectric scatter (reference: Test.cpp:151-186): Schlick
+    probabilistic reflect/refract, 1 draw."""
+    rdn = dot3(rd, normal)
+    entering = rdn <= 0.0
+    outward = sel3(entering, normal, neg3(normal))
+    # guard /0 on non-dielectric lanes
+    safe_ri = jnp.where(ri == 0.0, 1.0, ri)
+    nint = jnp.where(entering, 1.0 / safe_ri, ri)
+    cosine = jnp.where(entering, -rdn, ri * rdn)
+    dt = dot3(rd, outward)
+    discr = 1.0 - nint * nint * (1.0 - dt * dt)
+    refr = sub3(scale3(sub3(rd, scale3(outward, dt)), nint),
+                scale3(outward, safe_sqrt_pos(discr)))
+    refl_prob = jnp.where(discr > 0.0, schlick(cosine, ri),
+                          jnp.float32(1.0))
+    st_d, rr = rand01(state)
+    return st_d, normalize3(sel3(rr < refl_prob, refl, refr))
 
 
 def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
@@ -1239,8 +1472,7 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
         else res.roughness
 
     def _met_run():
-        st_m, rius = samplers.in_unit_sphere(state)
-        return st_m, normalize3(add3(refl, scale3(rius, rough)))
+        return _scatter_metal(state, refl, rough, samplers)
 
     if skip_empty:
         st_m, sdir_m = jax.lax.cond(_any(met_on), _met_run,
@@ -1251,21 +1483,7 @@ def bounce_parts(port: ScenePort, cfg: RenderConfig, carry,
 
     # --- Dielectric branch (reference: Test.cpp:151-186)
     def _die_run():
-        rdn = dot3(rd, normal)
-        entering = rdn <= 0.0
-        outward = sel3(entering, normal, neg3(normal))
-        # guard /0 on non-dielectric lanes
-        safe_ri = jnp.where(res.ri == 0.0, 1.0, res.ri)
-        nint = jnp.where(entering, 1.0 / safe_ri, res.ri)
-        cosine = jnp.where(entering, -rdn, res.ri * rdn)
-        dt = dot3(rd, outward)
-        discr = 1.0 - nint * nint * (1.0 - dt * dt)
-        refr = sub3(scale3(sub3(rd, scale3(outward, dt)), nint),
-                    scale3(outward, safe_sqrt_pos(discr)))
-        refl_prob = jnp.where(discr > 0.0, schlick(cosine, res.ri),
-                              jnp.float32(1.0))
-        st_d, rr = rand01(state)
-        return st_d, normalize3(sel3(rr < refl_prob, refl, refr))
+        return _scatter_dielectric(state, rd, normal, refl, res.ri)
 
     if skip_empty:
         st_d, sdir_d = jax.lax.cond(_any(die_on), _die_run,
@@ -1596,6 +1814,17 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     """
     assert n_slots == 1 or flush is not None, \
         "n_slots > 1 needs a flush callback (per-slot accumulation)"
+    # cfg.merged_wavefront routes to the software-pipelined twin
+    # (render_pixels_fused_merged) wherever its contract holds: forward
+    # GPU-sampler path, non-chunked port.  Same images/counts semantics
+    # (see its docstring); the unmerged body below remains the lockstep
+    # sibling's structural twin and the chunked/exact-shadow fallback.
+    if (cfg.merged_wavefront and not samplers.exact_shadow
+            and not hasattr(port, "hit_chunks")):
+        return render_pixels_fused_merged(
+            port, cfg, cam, px, py, frame, samplers=samplers, flush=flush,
+            stats=stats, n_slots=n_slots, slot_dy=slot_dy,
+            count_bounds=count_bounds)
     if skip_empty is None:
         skip_empty = _SKIP_EMPTY
     shape = jnp.shape(px)
@@ -1748,6 +1977,275 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
         col = scale3(col_sum, jnp.float32(1.0 / spp))
     else:
         col, raycnt = None, carry[5]
+    if stats:
+        return col, raycnt, (d_fin, carry[-1])
+    return col, raycnt
+
+
+def render_pixels_fused_merged(port: ScenePort, cfg: RenderConfig, cam,
+                               px, py, frame,
+                               samplers: Samplers = GPU_SAMPLERS,
+                               flush=None, stats: bool = False,
+                               n_slots: int = 1, slot_dy: int = 0,
+                               count_bounds=None):
+    """Software-pipelined persistent wavefront (round 4): the nearest-hit
+    (t, id) of each lane's ray is CARRIED one iteration ahead, so each
+    iteration runs
+
+      classify(carried hit) -> scatter/NEE-sample -> refill -> ONE merged
+      sphere loop (next ray's argmin + all shadow occlusions, shared
+      per-sphere co / c from the common hit-point origin) -> NEE
+      contribution -> accumulate/flush
+
+    instead of the straight-line hit -> scatter -> separate shadow
+    traversal.  A scattered lane's next ray and its NEE shadow rays leave
+    the SAME point, so merging their traversals computes the center
+    offset and c = |co|^2 - r^2 once per sphere (-422 census
+    ops/iteration, -7.9%; tools/op_census.py).
+
+    Semantics contract vs render_pixels_fused: per-lane RNG draw order,
+    ray/shadow counts, per-pixel accumulation order, and flush band
+    masks are IDENTICAL (a lane never scatters and refills in the same
+    iteration, and each count/flush keeps its pre-refill slot), so images
+    match the non-pipelined loop at the usual cross-formulation drift
+    (asserted both ways in tests/test_merged.py) and ray counts match
+    EXACTLY.  Pipeline-specific costs: one extra trailing iteration per
+    lane (the final classify has no refill to overlap) and one idle
+    iteration per depth-cutoff sample (its NEE shadow rays still need the
+    hit-point origin, so the refill that would reuse the merged loop for
+    a camera ray must wait an iteration) -- both << 1% of trips at the
+    production workload.
+
+    Constraints: forward-only, GPU samplers, no hit_chunks ports (the
+    chunked scaled path keeps the unmerged loop), skip_empty unsupported
+    (the pipeline never has an empty Lambert set to skip).
+    """
+    assert n_slots == 1 or flush is not None, \
+        "n_slots > 1 needs a flush callback (per-slot accumulation)"
+    assert not hasattr(port, "hit_chunks"), \
+        "merged wavefront does not support chunked ports"
+    shape = jnp.shape(px)
+    spp = cfg.samples_per_pixel
+    f32 = jnp.float32
+    i32 = jnp.int32
+    fx = px.astype(f32)
+    fy = py.astype(f32)
+    inv_w = jnp.float32(cfg.inv_width)
+    inv_h = jnp.float32(cfg.inv_height)
+    light_ids = tuple(port.emissive_ids) if cfg.do_light_sampling else ()
+    n_l = len(light_ids)
+
+    state0 = seed_pixels(px, py, frame)
+    zero_i = (state0 & jnp.uint32(0)).astype(i32)
+    zero_f = zero_i.astype(f32)
+    zero3 = (zero_f, zero_f, zero_f)
+    B_DEPTH, B_START, B_SLOT = 2, 10, 18
+    # carry: ro rd col [col_sum] atten (vec3 each), pend_t, pend_id,
+    # state, raycnt, lane_state -- two more carried vectors than the
+    # unmerged loop (the pipelined hit).
+    base = (zero3, zero3, zero3, zero3, zero_f, zero_i - 1,
+            state0, zero_i, zero_i)
+    carry0 = base if flush is not None else base[:3] + (zero3,) + base[3:]
+    if stats:
+        carry0 = carry0 + (jnp.sum(zero_i),)
+
+    # exact per-lane bound: every sample can cost its depth in classify
+    # iterations plus one idle iteration on depth cutoff, plus the final
+    # classify-without-refill trip
+    max_iters = n_slots * spp * (cfg.max_depth + 1) + 1
+
+    def cond(dc):
+        d, c = dc
+        ls = c[-2] if stats else c[-1]
+        started = (ls >> B_START) & 0xFF
+        slot = ls >> B_SLOT
+        undone = (started < spp) | (slot < n_slots - 1)
+        has_work = jnp.max((ls & 1) + undone.astype(i32)) > 0
+        return (d < max_iters) & has_work
+
+    def body(dc):
+        d, c = dc
+        if stats:
+            c, work = c[:-1], c[-1]
+        if flush is None:
+            (ro, rd, col, col_sum, atten, pend_t, pend_id, state, raycnt,
+             ls) = c
+        else:
+            (ro, rd, col, atten, pend_t, pend_id, state, raycnt, ls) = c
+        alive = (ls & 1) != 0
+        do_me = (ls & 2) != 0
+        depth = (ls >> B_DEPTH) & 0xFF
+        started = (ls >> B_START) & 0xFF
+        slot = ls >> B_SLOT
+        slot_in = slot  # counts/flushes below belong to the pre-refill slot
+        rd_in = rd      # incoming direction (nl orientation, sky, refl)
+
+        # --- 1. classify the carried hit (== bounce entry, hlsl:303)
+        prev_cnt = raycnt
+        raycnt = raycnt + alive.astype(i32)
+        res = gather_winner(port, pend_t, pend_id)
+        hit = alive & (pend_id >= 0)
+        no_hit = alive & (pend_id < 0)
+        sky = sky_color(rd_in, cfg)
+        pos = add3(ro, scale3(rd_in, pend_t))
+        normal = scale3(sub3(pos, (res.cx, res.cy, res.cz)),
+                        res.inv_radius)
+        lam_on = hit & res.is_lambert
+        met_on = hit & res.is_metal
+        die_on = hit & res.is_dielectric
+        refl = reflect3(rd_in, normal)
+
+        # --- 2. scatter, per-branch RNG threads (same order as
+        # bounce_parts: each branch advances its own copy of state and
+        # the lane's material selects the consuming thread)
+        st_l, ruv = samplers.unit_vector(state)
+        target = add3(add3(pos, normal), ruv)
+        sdir_l = normalize3(sub3(target, pos))
+        if n_l:
+            st_l, cones = _nee_cones(port, cfg, pos, pend_id, lam_on,
+                                     st_l, samplers)
+        else:
+            cones = []
+        rough = jnp.zeros_like(res.roughness) if cfg.do_mitsuba_compare \
+            else res.roughness
+        st_m, sdir_m = _scatter_metal(state, refl, rough, samplers)
+        met_ok = dot3(sdir_m, normal) > 0.0
+        st_d, sdir_d = _scatter_dielectric(state, rd_in, normal, refl,
+                                           res.ri)
+        new_state = jnp.where(lam_on, st_l,
+                              jnp.where(met_on, st_m,
+                                        jnp.where(die_on, st_d, state)))
+        state = jnp.where(hit, new_state, state)
+        scatter_ok = lam_on | (met_on & met_ok) | die_on
+        new_dir = sel3(lam_on, sdir_l, sel3(met_on, sdir_m, sdir_d))
+        attenuation = sel3(lam_on | met_on, res.alb,
+                           sel3(die_on, splat3(shape, (1.0, 1.0, 1.0)),
+                                splat3(shape, (1.0, 0.0, 1.0))))
+
+        # --- 3. per-bounce classification (emission gating as
+        # bounce_parts; hlsl:314-325)
+        mat_e = res.em
+        if cfg.do_light_sampling:
+            gated_e = sel3(do_me, mat_e, zero3)
+            upd = hit & scatter_ok
+            do_me = (upd & ~lam_on) | (~upd & do_me)
+        else:
+            gated_e = mat_e
+        scat = hit & scatter_ok
+        died = hit & ~scatter_ok
+        depth = depth + alive.astype(i32)
+        cutoff = scat & (depth >= cfg.max_depth)  # GPU loop bound
+        cont = scat & (depth < cfg.max_depth)
+
+        # --- 4. terminal-without-NEE samples: died -> ungated matE,
+        # miss -> sky (the e-classes of bounce_parts).  Their final color
+        # never enters the carry; the flush itself is deferred to step 6
+        # so the iteration issues ONE flush (term1 | cutoff) -- each
+        # flush call costs 3 (or 3K) VMEM read-modify-writes in the
+        # Pallas kernel.
+        term1 = died | no_hit
+        colf = add3(col, mul3(atten, sel3(died, mat_e, sky)))
+
+        # refill: idle lanes (flushed-at-cutoff last iteration, or
+        # pre-loop) and term1 lanes with samples remaining.  Cutoff lanes
+        # are NOT free -- their NEE shadow rays still need pos as the
+        # merged-loop origin this iteration; they refill next iteration.
+        exhausted = started >= spp
+        needs = (~alive | term1) & ((~exhausted) | (slot < n_slots - 1))
+        if n_slots > 1:
+            slot_adv = needs & exhausted
+            slot = slot + slot_adv.astype(i32)
+            started = jnp.where(slot_adv, 0, started)
+            fy_cur = (py + slot * slot_dy).astype(f32)
+            state = jnp.where(slot_adv,
+                              seed_pixels(px, py + slot * slot_dy, frame),
+                              state)
+        else:
+            fy_cur = fy
+        st2, ur = rand01(state)
+        u = (fx + ur) * inv_w
+        st2, vr = rand01(st2)
+        v = (fy_cur + vr) * inv_h
+        st2, ro_n, rd_n = camera_get_ray(cam, u, v, st2, samplers)
+        state = jnp.where(needs, st2, state)      # gated RNG consumption
+        # merged-loop origin: scattered lanes (cont AND cutoff) query
+        # from the hit point; refilled lanes from the lens point
+        ro = sel3(needs, ro_n, sel3(scat, pos, ro))
+        rd = sel3(needs, rd_n, sel3(scat, new_dir, rd))
+        col = sel3(needs, zero3, col)
+        atten = sel3(needs, splat3(shape, (1.0, 1.0, 1.0)), atten)
+        do_me = needs | do_me
+        depth = jnp.where(needs, depth * 0, depth)
+        started = started + needs.astype(i32)
+        if stats:
+            work = work + jnp.sum((alive | needs).astype(i32))
+
+        # --- 5. merged traversal: next-ray argmin + shadow occlusions
+        if n_l:
+            t_ls, light_hits = [], []
+            for (e, _, _, l, _) in cones:
+                t_l, vld = _sphere_t(port.sphere(e), pos, l, cfg.min_t,
+                                     safe=False)
+                t_ls.append(t_l)
+                light_hits.append(vld & (t_l < cfg.max_t))
+            ldirs = [cn[3] for cn in cones]
+        else:
+            t_ls, light_hits, ldirs = [], [], []
+        pend_t, pend_id, occs = merged_traversal(
+            port, ro, rd, cfg.min_t, cfg.max_t, ldirs, light_ids, t_ls)
+
+        # --- 6. NEE contribution, accumulate, flush depth-cutoff samples
+        if n_l:
+            sees = [lh & ~oc for lh, oc in zip(light_hits, occs)]
+            light_e, shadow_cnt = _nee_light_e(
+                cfg, cones, sees, [None] * n_l, res.alb, normal, rd_in,
+                soft_shadow=False)
+            raycnt = raycnt + jnp.where(lam_on, shadow_cnt, 0)
+        else:
+            light_e = zero3
+        if count_bounds is not None:
+            x_end, y_end = count_bounds
+            y_cur = py + slot_in * slot_dy if n_slots > 1 else py
+            vis = (px < x_end) & (y_cur < y_end)
+            raycnt = prev_cnt + jnp.where(vis, raycnt - prev_cnt, 0)
+        e_scat = add3(gated_e, light_e)
+        col = sel3(scat, add3(col, mul3(atten, e_scat)), col)
+        atten = sel3(scat, mul3(atten, attenuation), atten)
+        # single flush site: terminal-at-classify samples deliver their
+        # step-4 colf, depth-cutoff samples their post-NEE col (disjoint
+        # masks -- term1 excludes hit&scatter_ok, cutoff requires it)
+        finished = term1 | cutoff
+        col_fin = sel3(term1, colf, col)
+        if flush is not None:
+            if n_slots > 1:
+                flush(finished, col_fin, slot_in)
+            else:
+                flush(finished, col_fin)
+        else:
+            col_sum = sel3(finished, add3(col_sum, col_fin), col_sum)
+
+        new_alive = cont | needs
+        ls = (new_alive.astype(i32) | (do_me.astype(i32) << 1)
+              | (depth << B_DEPTH) | (started << B_START)
+              | (slot << B_SLOT))
+        if flush is None:
+            out = (ro, rd, col, col_sum, atten, pend_t, pend_id, state,
+                   raycnt, ls)
+        else:
+            out = (ro, rd, col, atten, pend_t, pend_id, state, raycnt, ls)
+        if stats:
+            out = out + (work,)
+        return d + 1, out
+
+    # Peel the first iteration (Mosaic replicated-layout workaround --
+    # see render_pixels_fused)
+    d_fin, carry = jax.lax.while_loop(cond, body,
+                                      body((jnp.int32(0), carry0)))
+    if flush is None:
+        col_sum, raycnt = carry[3], carry[8]
+        col = scale3(col_sum, jnp.float32(1.0 / spp))
+    else:
+        col, raycnt = None, carry[7]
     if stats:
         return col, raycnt, (d_fin, carry[-1])
     return col, raycnt

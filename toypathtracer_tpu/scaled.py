@@ -430,8 +430,16 @@ class ChunkedScenePort(tc.ScenePort):
                 # hit side: one-hot accumulate the winner's discriminant
                 sel = (idx[ksl] == hit_id).astype(jnp.float32)
                 d_hit = d_hit + jnp.sum(sel * d, axis=0)
-                # miss side: running argmax of in-front candidates
-                d_m = jnp.where(nb > t_min, d, -1e9)
+                # miss side: running argmax of in-front candidates.
+                # Exclude the zero-radius PADDING spheres (all parked at
+                # (1e4,)*3 with sqr == 0): a ray passing near that point
+                # has d -> 0- for them, so without the mask a padding
+                # sphere could win the candidate search with
+                # non-negligible sigmoid weight and blend the backward
+                # radiance toward a black zero-radius sphere
+                # (advisor round 3).
+                d_m = jnp.where((nb > t_min) & (ch["sqr"][ksl] > 0.0),
+                                d, -1e9)
                 k = jnp.argmax(d_m, axis=0)
                 d_best = jnp.max(d_m, axis=0)
                 better = live & (d_best > d_miss)
@@ -466,18 +474,21 @@ class ChunkedScenePort(tc.ScenePort):
             is_die=s.mat_is_die[idx] & cand_on,
         )
 
-    def lights_occlusion_proximity(self, ro, dirs, light_ids, t_min, t_ls):
+    def lights_occlusion_proximity(self, ro, dirs, light_ids, t_min, t_ls,
+                                   eps: float = 1.0):
         """Chunk-scan form of tracecore._lights_occlusion_proximity (the
         soft NEE shadow-boundary gradient): per light, the max occluder
         discriminant over spheres whose closest approach lies inside the
         shadow segment.  One scan answers all lights (shared center
         offsets per chunk, like lights_visible); per-light AABB gating on
         the (t_min, t_l)-clipped inflated slab test -- pruned occluders
-        have d < -8*eps_scale where eps_scale ~ the smallest useful
-        sigmoid argument, so both sides of the straight-through soft
-        visibility are unaffected (see silhouette_chunks for the bound).
-        Inflation reuses the silhouette margin with eps=1 (d < -8 prunes
-        only sigmoid(-8/eps)-level weights for any eps <= 1)."""
+        have d < -8*eps, so sigmoid(d/eps) < 3.4e-4 and its gradient is
+        likewise suppressed for the caller's actual sigmoid scale: both
+        sides of the straight-through soft visibility are unaffected
+        (see silhouette_chunks for the bound).  `eps` must be the
+        soft_silhouette_eps the sigmoid uses -- the margin scales with
+        max(eps, 1) so larger eps keeps the pruning gradient-invisible
+        (advisor round 3)."""
         s = self._s
         C, K = s.chunk_aabb.shape[0], s.chunk
         n_l = len(light_ids)
@@ -488,7 +499,7 @@ class ChunkedScenePort(tc.ScenePort):
         inv_ds = [tuple(1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                         jnp.where(d >= 0, 1e-12, -1e-12), d)
                         for d in l) for l in dirs]
-        delta = jnp.sqrt(self._chunk_rmax ** 2 + 8.0)
+        delta = jnp.sqrt(self._chunk_rmax ** 2 + 8.0 * max(float(eps), 1.0))
 
         xs = dict(
             cx=s.center[:, 0].reshape(C, K),

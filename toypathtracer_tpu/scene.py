@@ -179,6 +179,37 @@ def make_scene(big: bool = True, mitsuba_compare: bool = False) -> Scene:
     return _build(spheres, mats, cam)
 
 
+def validate_scene(scene: Scene) -> None:
+    """Host-side scene sanity checks (concrete arrays only).
+
+    Warns when an EMISSIVE sphere's surface is embedded in (or overlaps)
+    another sphere: the fast forward kernels' interval-overlap shadow test
+    (ops/tracecore._occ_test) reports "occluded" for a shadow ray that
+    starts inside an occluder whose root interval also spans the light,
+    where the reference's nearest-valid-root rule reports "visible" --
+    impossible in the shipped scenes (spheres at most tangent,
+    Test.cpp:13-31) but reachable in user scenes.  NEE on such lanes is
+    darkened; the golden-parity path (Samplers.exact_shadow) is exact
+    regardless."""
+    import warnings
+    c = np.asarray(scene.center, dtype=np.float64)
+    r = np.asarray(scene.radius, dtype=np.float64)
+    for e in scene.emissive_ids:
+        # light e's surface intersects/embeds in sphere j when the center
+        # distance is below r_j + r_e (tangency is fine: measure-zero)
+        d = np.sqrt(((c - c[e]) ** 2).sum(axis=1))
+        over = (d < r + r[e] - 1e-12)
+        over[e] = False
+        if over.any():
+            j = int(np.argmax(over))
+            warnings.warn(
+                f"emissive sphere {e} overlaps sphere {j} "
+                f"(center distance {d[j]:.4g} < r_sum {r[j] + r[e]:.4g}): "
+                "the fast path's interval-overlap shadow test darkens NEE "
+                "for shadow rays starting inside the overlap; use the "
+                "exact-shadow samplers for this scene", stacklevel=2)
+
+
 def recompute_emissive_ids(scene: Scene) -> Scene:
     """Host-side rebuild of the emissive index list from concrete values
     (mirrors the per-frame rebuild at reference Test.cpp:321-338).  Call
