@@ -6,6 +6,7 @@ d(image)/d(t) must flow through Scene.animate into the renderer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from toypathtracer_tpu import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
 from toypathtracer_tpu.render.frame import scene_for_frame
@@ -28,6 +29,7 @@ def test_motion_gradient_finite_and_nonzero(big_scene):
     assert g != 0.0
 
 
+@pytest.mark.slow
 def test_motion_ad_matches_fd_with_soft_visibility():
     """d(image)/dt of the reference animation (spheres 1 and 8 moving,
     Test.cpp:304-308) via AD with the two-sided soft-silhouette + NEE

@@ -9,6 +9,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from toypathtracer_tpu import RenderConfig
 from toypathtracer_tpu.scaled import (
@@ -300,6 +301,7 @@ def test_scaled_lights_occlusion_proximity_matches_unrolled():
         np.testing.assert_allclose(a[band], b[band], rtol=1e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_scaled_geometry_recovery_soft_silhouette():
     """Round-2 VERDICT item 4's done-criterion: recover a perturbed sphere
     CENTER through the chunked renderer (config 5 + config 3 combined) --

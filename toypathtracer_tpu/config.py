@@ -86,11 +86,12 @@ class RenderConfig:
     # tests/test_merged.py); pixel values agree at the usual
     # cross-formulation ulp-drift level.  Forward fast path only
     # (lockstep/differentiable and chunked scaled ports are unaffected).
-    # Default OFF: on-chip A/B measured the op cut WALL-NEUTRAL on v5e
-    # (the pipeline carries 2 extra vectors and runs +1 trailing
-    # iteration per lane; docs/PERFORMANCE.md round-4 log) -- shipped as
-    # a tested opt-in for shapes/scenes where the traversal share is
-    # higher (more spheres, fewer lights).
+    # Default OFF here (the differentiable/parity paths never use it);
+    # bench.py turns it ON for the shipped 720x128/K=45 throughput
+    # config: steady-state A/B measures the op cut at +4% on v5e
+    # (1075-1078 -> 1118 Mray/s) -- the 16-frame protocol's fixed
+    # dispatch floor had masked it as wall-neutral
+    # (docs/PERFORMANCE.md round-4 log, docs/measured/bench_tile_r4.json).
     merged_wavefront: bool = False
 
     # Soft-silhouette gradient estimator (differentiable path only; the
