@@ -32,9 +32,19 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=10)
-    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=48,
+                    help="steps per timed call; the timed call carries a "
+                         "~250-390 ms fixed dispatch+transfer floor "
+                         "(docs/measured/bench_frames_r4.json), so short "
+                         "runs understate throughput -- the old default "
+                         "of 4 hid ~30%% of the kernel's rate")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--backend", choices=("jnp", "pallas"), default="jnp")
+    ap.add_argument("--grad-tile", default=None, metavar="H,W",
+                    help="grad_tile_h,grad_tile_w override (pallas backend; "
+                         "default 8,128 -- the backward kernel's VMEM "
+                         "working set per tile is ~depth x the forward's, "
+                         "so its tile ceiling is lower)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +60,9 @@ def main():
     cfg = tpt.RenderConfig(width=args.width, height=args.height,
                            samples_per_pixel=args.spp,
                            max_depth=args.depth)
+    if args.grad_tile:
+        gh, gw = (int(x) for x in args.grad_tile.split(","))
+        cfg = cfg.replace(grad_tile_h=gh, grad_tile_w=gw)
     scene = tpt.make_scene(big=True)
     print(f"bench_grad: {cfg.width}x{cfg.height} spp={args.spp} "
           f"depth={args.depth} device={jax.devices()[0].device_kind}",
