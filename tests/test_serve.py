@@ -127,3 +127,31 @@ def test_png_roundtrip_matches_writer(tmp_path):
         np.testing.assert_array_equal(arr, image_io.to_u8(img))
     except ImportError:
         assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_batched_viewer_matches_sequential():
+    """Frame batching (Viewer(batch=N) -> render.frame.progressive_steps):
+    N fused frames must advance the frame counter by N, count the same
+    rays, and produce the same accumulated image as N sequential steps
+    (same scene/time; the viewer batches only while static).  Animation
+    forces per-frame stepping regardless of batch."""
+    va = make_viewer()           # sequential
+    vb = make_viewer(batch=3)    # fused
+    va.time_scale = vb.time_scale = 0.0   # same (zero) animation time
+    for _ in range(3):
+        va.step_once()
+    vb.step_once()
+    assert int(np.asarray(va.sess.state.frame)) == 3
+    assert int(np.asarray(vb.sess.state.frame)) == 3
+    a = np.asarray(va.sess.state.accum)
+    b = np.asarray(vb.sess.state.accum)
+    # same math, different program shapes (python loop vs lax.scan):
+    # tolerate compiler-instance contraction drift only
+    assert np.abs(a - b).max() < 1e-5
+    assert (a == b).mean() > 0.99
+    # HUD frame counter advanced by the batch in one dispatch
+    assert vb.timer.frames == 3
+    # animation flag forces single-frame stepping
+    vb.set_flags(animate=True, progressive=True)
+    vb.step_once()  # toggle resets accum, then renders ONE frame
+    assert int(np.asarray(vb.sess.state.frame)) == 1

@@ -44,9 +44,13 @@ class FrameTimer:
     _samples: deque = field(default_factory=deque)
     _frames: int = 0
 
-    def add(self, dt: float, rays: int) -> None:
-        self._frames += 1
-        self._samples.append((dt, rays))
+    def add(self, dt: float, rays: int, count: int = 1) -> None:
+        """Record `count` frames rendered in `dt` seconds total (count > 1
+        = a fused multi-frame dispatch, render.frame.progressive_steps);
+        the window keeps per-frame samples so the HUD stays in the
+        reference's per-frame units."""
+        self._frames += count
+        self._samples.append((dt / count, rays / count))
         while len(self._samples) > self.window:
             self._samples.popleft()
 

@@ -94,6 +94,38 @@ def progressive_step(state: FrameState, scene: Scene, time,
     return new_state, blended, raycount
 
 
+@partial(jax.jit, static_argnames=("cfg", "flags", "render_fn", "n"),
+         donate_argnums=(0,))
+def progressive_steps(state: FrameState, scene: Scene, time,
+                      cfg: RenderConfig, flags: int, render_fn, n: int):
+    """n progressive frames fused into ONE device program (lax.scan).
+
+    Each timed device call carries a fixed dispatch + final-transfer cost
+    (measured ~250-390 ms through the TPU tunnel,
+    docs/measured/bench_frames_r4.json) -- at interactive sizes that floor
+    dominates a single ~10-30 ms frame, so frontends that only display
+    the ACCUMULATED image (the converge-while-you-look loop) should batch
+    several frames per dispatch.  Semantics are exactly n sequential
+    progressive_step calls with the same `time` (callers batch only when
+    not animating: an animated scene needs per-frame wall-clock time, and
+    its accumulation is a damped trail, not a mean); the returned image
+    is the final accumulator and raycount sums the n frames.
+    """
+    if render_fn is None:
+        render_fn = wavefront.render_frame
+    scene_t = scene_for_frame(scene, time, flags)
+
+    def body(st, _):
+        img, raycount = render_fn(scene_t, cfg, st.frame)
+        fac = lerp_factor(st.frame, flags, cfg)
+        prev = jnp.where(jnp.isfinite(st.accum), st.accum, 0.0)
+        blended = prev * fac + img * (1.0 - fac)
+        return FrameState(accum=blended, frame=st.frame + 1), raycount
+
+    new_state, rays = jax.lax.scan(body, state, None, length=n)
+    return new_state, new_state.accum, jnp.sum(rays)
+
+
 class RenderSession:
     """Stateful convenience wrapper for CLIs/frontends: owns the FrameState,
     resets it on flag toggles (reference: TestWin.cpp:419-432)."""
@@ -116,4 +148,14 @@ class RenderSession:
         self.state, img, raycount = progressive_step(
             self.state, self.scene, jnp.float32(time), self.cfg, self.flags,
             self.render_fn)
+        return img, raycount
+
+    def steps(self, time: float, n: int):
+        """n fused progressive frames (see progressive_steps); n=1 is
+        exactly step()."""
+        if n <= 1:
+            return self.step(time)
+        self.state, img, raycount = progressive_steps(
+            self.state, self.scene, jnp.float32(time), self.cfg, self.flags,
+            self.render_fn, n)
         return img, raycount

@@ -105,7 +105,7 @@ class Viewer:
     def __init__(self, scene, cfg: RenderConfig,
                  flags: int = FLAG_PROGRESSIVE, render_fn=None,
                  time_scale: float = 0.2, render_fns=None,
-                 backend: str | None = None):
+                 backend: str | None = None, batch: int = 1):
         # render_fns: {name: render_fn or None (= default jnp wavefront)}.
         # More than one entry enables the runtime backend switch (the
         # reference's 'g' key, TestWin.cpp:419-423).  The plain render_fn
@@ -122,6 +122,13 @@ class Viewer:
                                   render_fn=render_fns[self.backend])
         self.cfg = cfg
         self.time_scale = time_scale
+        # Frames fused per device dispatch while converging a STATIC view
+        # (render.frame.progressive_steps): each dispatch carries a fixed
+        # ~250-390 ms tunnel floor (docs/measured/bench_frames_r4.json),
+        # so batching multiplies the convergence rate the viewer actually
+        # delivers.  Animation always steps one frame at a time (it needs
+        # per-frame wall-clock time and a damped trail, not a mean).
+        self.batch = max(1, int(batch))
         self.timer = FrameTimer(window=10)
         self._lock = threading.Lock()
         self._pending_flags: int | None = None
@@ -174,11 +181,12 @@ class Viewer:
             self.sess.state = init_frame_state(self.cfg)  # reset accum
             self.timer = FrameTimer(window=10)
         t = (time.perf_counter() - self._t0) * self.time_scale
+        n = 1 if (self.sess.flags & FLAG_ANIMATE) else self.batch
         t0 = time.perf_counter()
-        img, raycount = self.sess.step(time=t)
+        img, raycount = self.sess.steps(time=t, n=n)
         img_h = np.asarray(img)          # host transfer = device sync
         rays = int(np.asarray(raycount))
-        self.timer.add(time.perf_counter() - t0, rays)
+        self.timer.add(time.perf_counter() - t0, rays, count=n)
         png = image_io.png_bytes(img_h)
         with self._lock:
             self._png = png
@@ -270,6 +278,12 @@ def main(argv=None) -> int:
     ap.add_argument("--animate", action="store_true")
     ap.add_argument("--ppl", type=int, default=1, metavar="K",
                     help="pixels per lane in the Pallas wavefront")
+    ap.add_argument("--batch", type=int, default=0, metavar="N",
+                    help="frames fused per device dispatch while the view "
+                         "is static (0 = auto: 8 on TPU, 1 elsewhere).  "
+                         "Each dispatch pays a fixed ~0.3 s tunnel floor, "
+                         "so batching multiplies the delivered progressive "
+                         "convergence rate; animation always steps 1.")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp", "parity", "sharded"])
     args = ap.parse_args(argv)
@@ -277,6 +291,7 @@ def main(argv=None) -> int:
     _enable_compile_cache()
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
+    batch = args.batch if args.batch > 0 else (8 if on_tpu else 1)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, max_depth=args.max_depth,
                        pix_per_lane=args.ppl)
@@ -292,7 +307,7 @@ def main(argv=None) -> int:
             render_fns["pallas"] = partial(render_frame_scaled, pallas=True)
         backend_name = "pallas" if on_tpu else "jnp"
         viewer = Viewer(scene, cfg, flags=flags, render_fns=render_fns,
-                        backend=backend_name)
+                        backend=backend_name, batch=batch)
         backend_name = f"scaled-{backend_name} ({args.scaled} spheres)"
     else:
         scene = make_scene(big=not args.small)
@@ -303,9 +318,10 @@ def main(argv=None) -> int:
             from .ops.pallas_render import render_frame_pallas
             render_fns = {"jnp": None, "pallas": render_frame_pallas}
             viewer = Viewer(scene, cfg, flags=flags, render_fns=render_fns,
-                            backend=backend_name)
+                            backend=backend_name, batch=batch)
         else:
-            viewer = Viewer(scene, cfg, flags=flags, render_fn=render_fn)
+            viewer = Viewer(scene, cfg, flags=flags, render_fn=render_fn,
+                            batch=batch)
     viewer.start()
 
     server = ThreadingHTTPServer((args.host, args.port),
