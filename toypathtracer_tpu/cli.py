@@ -96,6 +96,13 @@ def main(argv=None) -> int:
     ap.add_argument("--ppl", type=int, default=1, metavar="K",
                     help="pixels per lane in the Pallas wavefront "
                          "(occupancy tuning; image is bit-identical)")
+    ap.add_argument("--batch", type=int, default=1, metavar="N",
+                    help="frames fused per device dispatch "
+                         "(render.frame.progressive_steps; each dispatch "
+                         "pays a fixed ~0.3 s tunnel floor, so batched "
+                         "headless renders finish several times faster; "
+                         "HUD prints per-frame averages per batch; "
+                         "ignored when --animate)")
     ap.add_argument("--merged", action="store_true",
                     help="software-pipelined merged-traversal wavefront "
                          "(one sphere loop per bounce for argmin + NEE "
@@ -145,9 +152,17 @@ def main(argv=None) -> int:
         flags |= FLAG_ANIMATE
 
     if args.backend == "__scaled__":
+        import os
+        import jax
         from .scaled import render_frame_scaled
-        render_fn, backend_name = render_frame_scaled, \
-            f"scaled jnp ({args.scaled} spheres)"
+        # render_frame_scaled(pallas=None) auto-selects the Pallas
+        # traversal kernels on TPU (TPT_SCALED_PALLAS=0 opts out) -- the
+        # label must match what actually runs.
+        scaled_pallas = (jax.devices()[0].platform == "tpu"
+                         and os.environ.get("TPT_SCALED_PALLAS", "1") != "0")
+        render_fn = render_frame_scaled
+        backend_name = (f"scaled {'pallas' if scaled_pallas else 'jnp'} "
+                        f"({args.scaled} spheres)")
     else:
         render_fn, backend_name = _pick_backend(args.backend)
     sess = RenderSession(scene, cfg, flags=flags, render_fn=render_fn)
@@ -167,15 +182,24 @@ def main(argv=None) -> int:
 
     from .profiling import hud_string
 
+    # Frames fused per device dispatch (render.frame.progressive_steps):
+    # each dispatch pays a fixed ~0.3 s tunnel floor
+    # (docs/measured/bench_frames_r4.json), so batched headless renders
+    # finish several times faster.  Animation keeps per-frame stepping
+    # (frames need distinct wall-clock times).
+    batch = 1 if (flags & FLAG_ANIMATE) else max(1, args.batch)
     img = None
-    for f in range(frame0, frame0 + args.frames):
+    f = frame0
+    while f < frame0 + args.frames:
+        n = min(batch, frame0 + args.frames - f)
         t0 = time.perf_counter()
-        img, raycount = sess.step(time=f / 60.0)
+        img, raycount = sess.steps(time=f / 60.0, n=n)
         # force completion via a host transfer (device sync)
         rays = int(np.asarray(raycount))
         dt = time.perf_counter() - t0
-        # the reference HUD string (TestWin.cpp:330)
-        print(hud_string("TPU path tracer", dt, rays, f + 1))
+        # the reference HUD string (TestWin.cpp:330), per-frame units
+        print(hud_string("TPU path tracer", dt / n, rays // n, f + n))
+        f += n
 
     if args.save_state:
         from .checkpoint import save_frame_state
