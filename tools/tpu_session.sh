@@ -2,6 +2,12 @@
 # One TPU measurement window, cheapest/highest-info first, every step
 # under its own timeout so a tunnel flake doesn't wedge the queue.
 # Run: bash tools/tpu_session.sh 2>&1 | tee build/tpu_session.log
+#
+# Round-4 protocol: every throughput number uses the STEADY-STATE
+# measurement (BENCH_FRAMES=384, bench.py default) -- each timed device
+# call carries a fixed ~250-390 ms dispatch+transfer floor through the
+# tunnel, so short runs understate throughput ~2x and carry most of the
+# old "tunnel noise" (docs/measured/bench_frames_r4.json).
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p build
@@ -9,35 +15,40 @@ mkdir -p build
 # 0. liveness probe (fail fast if the tunnel is down)
 timeout 180 python -c "import jax; print(jax.devices())" || exit 1
 
-# 1. forward bench, K=1 baseline (compile cached from round 1)
-BENCH_REPS=4 timeout 1800 python bench.py > build/bench_k1.json
+# 1. forward bench, shipped config (720x128, K=45, merged, 384 frames)
+BENCH_REPS=4 timeout 1800 python bench.py > build/bench_shipped.json
 
-# 2. pix-per-lane ladder on the real chip
-for kt in "2 16,128" "3 24,128" "5 40,128" "9 72,128"; do
-  set -- $kt
-  BENCH_PPL=$1 BENCH_TILE=$2 BENCH_REPS=4 timeout 2400 python bench.py \
-    > "build/bench_k$1.json"
+# 2. shape ladder around the shipped point (catches regressions and
+#    device-generation shifts; see docs/measured/bench_tile_r4.json)
+for cfg in "15 120,128 0" "15 360,128 0" "45 720,128 0" "45 720,128 1" \
+           "30 720,128 1"; do
+  set -- $cfg
+  BENCH_PPL=$1 BENCH_TILE=$2 BENCH_MERGED=$3 BENCH_REPS=3 \
+    timeout 2400 python bench.py > "build/bench_k$1_t${2%%,*}_m$3.json"
 done
 
-# 3. Pallas-vs-jnp parity artifact (VERDICT item 6)
+# 3. Pallas-vs-jnp parity artifact (distribution-level gate)
 timeout 1800 python tools/tpu_parity.py
 
-# 4. measured VPU roofline (VERDICT item 3a)
+# 4. measured VPU roofline
 timeout 2400 python tools/vpu_roofline.py
 
-# 5. compiled occupancy counters must equal the interpret-mode ones
+# 5. compiled occupancy counters must equal the interpret-mode ones;
+#    also record the shipped-shape occupancy
 timeout 1800 python tools/occupancy.py
+timeout 1800 python tools/occupancy.py --ppl 45 --tile 720,128 \
+  --out build/occupancy_shipped.json
 
-# 6. fwd+bwd with the Pallas gradient kernel (VERDICT item 1)
-timeout 3000 python tools/bench_grad.py --backend pallas --frames 2 --reps 3 \
-  > build/bench_grad_pallas.json
-timeout 1800 python tools/bench_grad.py --backend jnp --frames 2 --reps 3 \
-  > build/bench_grad_jnp.json
+# 6. fwd+bwd with the Pallas gradient kernel (steady-state frames)
+timeout 3000 python tools/bench_grad.py --backend pallas --frames 48 \
+  --reps 3 > build/bench_grad_pallas.json
+timeout 1800 python tools/bench_grad.py --backend jnp --frames 12 \
+  --reps 3 > build/bench_grad_jnp.json
 
-# summary table of the K-sweep
+# summary table of the sweep
 python - <<'EOF'
 import glob, json
-for p in sorted(glob.glob("build/bench_k*.json")):
+for p in sorted(glob.glob("build/bench_*.json")):
     try:
         d = json.load(open(p))
         print(f"{p}: {d['value']} {d['unit']}")
