@@ -123,6 +123,44 @@ def main():
                      and rays_rel < 5e-4),
     }
 
+    # --- merged-vs-unmerged Pallas on chip (round 4: the merged
+    # software-pipelined loop is the SHIPPING bench kernel).  Interpret
+    # mode is bit-equal (tests/test_merged.py); on real hardware Mosaic
+    # compiles two different programs, so expect the same chaos-level
+    # per-pixel divergence as Pallas-vs-jnp and gate at the distribution
+    # level with identical tolerances.  Single frame at the shipped
+    # 720x128/K45 shape; distribution gate at the small parity config.
+    mcfg = tpt.RenderConfig(width=1280, height=720, pix_per_lane=45,
+                            tile_h=720, tile_w=128)
+    mi, mr = jax.block_until_ready(render_frame_pallas(
+        scene, mcfg.replace(merged_wavefront=True), jnp.int32(0)))
+    ui, ur = jax.block_until_ready(render_frame_pallas(
+        scene, mcfg, jnp.int32(0)))
+    mi, ui = np.asarray(mi), np.asarray(ui)
+    mdiff = np.abs(mi - ui)
+
+    pm, rays_m = progressive(lambda s, c, i: render_frame_pallas(
+        s, c.replace(merged_wavefront=True), i))
+    tm = np.sqrt(np.clip(pm, 0, None))
+    mb = tm.reshape(9, 4, 16, 4, 3).mean(axis=(1, 3))
+    m_mean = float(np.abs(mb - ab).mean())
+    m_max = float(np.abs(mb - ab).max())
+    m_rel = abs(rays_m - rays_pp) / max(rays_pp, 1)
+    out["merged_vs_unmerged"] = {
+        "single_frame_config": {"width": mcfg.width, "height": mcfg.height,
+                                "tile": [720, 128], "pix_per_lane": 45},
+        "rays_merged": int(mr), "rays_unmerged": int(ur),
+        "rays_rel_diff_single": abs(int(mr) - int(ur)) / max(int(ur), 1),
+        "bit_equal": bool((mi == ui).all()),
+        "max_abs_diff": float(mdiff.max()),
+        "mean_abs_diff": float(mdiff.mean()),
+        "progressive_16f": {"rays_rel_diff": m_rel,
+                            "block_mean_abs": m_mean,
+                            "block_max_abs": m_max},
+        "gates": {"mean": 0.02, "max": 0.20, "rays_rel": 5e-4},
+        "pass": bool(m_mean < 0.02 and m_max < 0.20 and m_rel < 5e-4),
+    }
+
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", "build"),
                 exist_ok=True)
     path = os.path.join(os.path.dirname(__file__), "..", "build",
@@ -144,6 +182,10 @@ def main():
     print("tpu_parity: distribution gate PASS "
           f"(block mean {out['progressive_mean']['block_mean_abs']:.2e}, "
           f"max {out['progressive_mean']['block_max_abs']:.2e})")
+    assert out["merged_vs_unmerged"]["pass"], \
+        "merged-vs-unmerged distribution gate failed"
+    print("tpu_parity: merged-vs-unmerged gate PASS "
+          f"(block mean {out['merged_vs_unmerged']['progressive_16f']['block_mean_abs']:.2e})")
     return 0
 
 
