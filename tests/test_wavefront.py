@@ -215,3 +215,31 @@ def test_branch_skip_matches_straight_line(big_scene):
     for a, b in zip(a_col, b_col):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_render_session_validates_user_scenes(big_scene):
+    """RenderSession is the host-side seam every user scene passes
+    through (CLI, viewer, direct API): scene.validate_scene must warn
+    when an emissive sphere's surface is embedded in another sphere (the
+    configuration where the fast kernels' interval-overlap shadow test
+    darkens NEE, tracecore._occ_test docstring) -- and must stay silent
+    on the shipped scenes."""
+    import warnings
+
+    tiny = RenderConfig(width=16, height=8, samples_per_pixel=1,
+                        max_depth=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        frame_mod.RenderSession(big_scene, tiny)
+    assert not [x for x in w if "overlaps" in str(x.message)]
+
+    # move the first emissive light to sit inside sphere 2's volume
+    e = big_scene.emissive_ids[0]
+    c = np.asarray(big_scene.center).copy()
+    c[e] = c[2]
+    bad = big_scene.replace(center=jnp.asarray(c))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        frame_mod.RenderSession(bad, tiny)
+    assert [x for x in w if "overlaps" in str(x.message)], \
+        [str(x.message) for x in w]

@@ -143,8 +143,8 @@ def main(argv=None) -> int:
     else:
         scene = make_scene(big=not args.small,
                            mitsuba_compare=args.mitsuba_compare)
-        from .scene import validate_scene
-        validate_scene(scene)  # warn on interval-overlap shadow hazards
+        # (interval-overlap shadow hazards are checked by RenderSession's
+        # validate_scene call -- the seam every scene passes through)
     flags = 0
     if not args.no_progressive:
         flags |= FLAG_PROGRESSIVE
@@ -152,16 +152,11 @@ def main(argv=None) -> int:
         flags |= FLAG_ANIMATE
 
     if args.backend == "__scaled__":
-        import os
-        import jax
-        from .scaled import render_frame_scaled
-        # render_frame_scaled(pallas=None) auto-selects the Pallas
-        # traversal kernels on TPU (TPT_SCALED_PALLAS=0 opts out) -- the
-        # label must match what actually runs.
-        scaled_pallas = (jax.devices()[0].platform == "tpu"
-                         and os.environ.get("TPT_SCALED_PALLAS", "1") != "0")
+        from .scaled import render_frame_scaled, uses_pallas
+        # the label queries the same predicate render_frame_scaled's
+        # pallas=None auto-select uses, so it cannot drift from what runs
         render_fn = render_frame_scaled
-        backend_name = (f"scaled {'pallas' if scaled_pallas else 'jnp'} "
+        backend_name = (f"scaled {'pallas' if uses_pallas() else 'jnp'} "
                         f"({args.scaled} spheres)")
     else:
         render_fn, backend_name = _pick_backend(args.backend)
@@ -185,9 +180,12 @@ def main(argv=None) -> int:
     # Frames fused per device dispatch (render.frame.progressive_steps):
     # each dispatch pays a fixed ~0.3 s tunnel floor
     # (docs/measured/bench_frames_r4.json), so batched headless renders
-    # finish several times faster.  Animation keeps per-frame stepping
-    # (frames need distinct wall-clock times).
-    batch = 1 if (flags & FLAG_ANIMATE) else max(1, args.batch)
+    # finish several times faster.  Only while PROGRESSIVE accumulation
+    # is on (otherwise each fused frame overwrites the last -- n-1 of n
+    # wasted) and animation is off (frames need distinct wall-clock
+    # times).
+    batch = max(1, args.batch) if (flags & FLAG_PROGRESSIVE
+                                   and not flags & FLAG_ANIMATE) else 1
     img = None
     f = frame0
     while f < frame0 + args.frames:

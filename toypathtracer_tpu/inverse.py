@@ -58,14 +58,16 @@ from .scene import Scene
 # Scene fields that carry gradients (the differentiable parameter set).
 PARAM_FIELDS = ("center", "radius", "albedo", "emissive", "roughness", "ri")
 
-# JAX versions on which the check_vma=False cotangent contract of the
-# pallas+mesh gradient path was verified (see make_sharded_value_and_grad):
-# with check_vma off, shard_map AD does NOT insert the replicated-input
-# cotangent psum and the explicit psum below is required exactly once.
-# If a future JAX starts inserting it regardless, grads double-count by
-# the mesh size -- the fast-gate test asserts the end result; this pin
-# turns a silent behavior change into a loud warning.
-_CHECK_VMA_VERIFIED = ((0, 9), (0, 99))
+# (major, minor) JAX versions on which the check_vma=False cotangent
+# contract of the pallas+mesh gradient path was verified (see
+# make_sharded_value_and_grad): with check_vma off, shard_map AD does NOT
+# insert the replicated-input cotangent psum and the explicit psum below
+# is required exactly once.  If a future JAX starts inserting it
+# regardless, grads double-count by the mesh size -- the fast-gate test
+# asserts the end result; this pin turns a silent behavior change into a
+# loud warning.  Deliberately TIGHT (0.9 only): any newer minor is
+# unverified by definition, so it must warn.
+_CHECK_VMA_VERIFIED = ((0, 9), (0, 9))
 
 
 def _check_vma_psum_contract():

@@ -881,9 +881,15 @@ def _occ_test(nb, c, t_min, t_l):
     d = nb * nb - c
     a = nb - t_min
     b = nb - t_l
+    # Comparison form exactly as derived above: fl(a*|a|) == -fl(a*a) for
+    # a <= 0 (rounding commutes with negation) and the negation is exact,
+    # so `d > -(a*|a|)` is bit-equal to the boolean pair even under TPU
+    # flush-to-zero.  An earlier round-4 draft used `d + a*|a| > 0`,
+    # whose ADDITION rounds (and can flush a subnormal difference to 0),
+    # quietly breaking the bit-equality claim on measure-zero inputs.
     return ((d > 0.0)
             & (d > b * jnp.abs(b))
-            & (d + a * jnp.abs(a) > 0.0))
+            & (d > -(a * jnp.abs(a))))
 
 
 def lights_visible_fused(port: ScenePort, ro, dirs, light_ids, t_min, t_max):

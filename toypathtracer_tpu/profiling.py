@@ -46,11 +46,15 @@ class FrameTimer:
 
     def add(self, dt: float, rays: int, count: int = 1) -> None:
         """Record `count` frames rendered in `dt` seconds total (count > 1
-        = a fused multi-frame dispatch, render.frame.progressive_steps);
-        the window keeps per-frame samples so the HUD stays in the
-        reference's per-frame units."""
+        = a fused multi-frame dispatch, render.frame.progressive_steps).
+        One per-frame sample is pushed PER FRAME (not per dispatch), so
+        the window stays the reference's 10-FRAME window
+        (TestWin.cpp:310-336) and the HUD reacts to rate changes at the
+        same frame horizon regardless of batching."""
         self._frames += count
-        self._samples.append((dt / count, rays / count))
+        per = (dt / count, rays / count)
+        for _ in range(min(count, self.window)):
+            self._samples.append(per)
         while len(self._samples) > self.window:
             self._samples.popleft()
 

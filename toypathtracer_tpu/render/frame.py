@@ -107,10 +107,21 @@ def progressive_steps(state: FrameState, scene: Scene, time,
     the ACCUMULATED image (the converge-while-you-look loop) should batch
     several frames per dispatch.  Semantics are exactly n sequential
     progressive_step calls with the same `time` (callers batch only when
-    not animating: an animated scene needs per-frame wall-clock time, and
-    its accumulation is a damped trail, not a mean); the returned image
-    is the final accumulator and raycount sums the n frames.
+    PROGRESSIVE accumulation is on and animation is off: without
+    progressive each frame overwrites the accumulator, so n-1 of n fused
+    frames would be pure waste, and an animated scene needs per-frame
+    wall-clock time); the returned image is the final accumulator and
+    raycount sums the n frames.
+
+    n is capped at 64: the summed ray count is int32 and the production
+    720p/4spp frame counts ~16.8M rays, so 64 frames stay under 2^31
+    with ~2x headroom.
     """
+    if n > 64:
+        raise ValueError(f"progressive_steps n={n} > 64: the int32 ray-"
+                         "count sum overflows past ~128 frames at 720p "
+                         "(16.8M rays/frame); dispatch in <= 64-frame "
+                         "batches")
     if render_fn is None:
         render_fn = wavefront.render_frame
     scene_t = scene_for_frame(scene, time, flags)
@@ -133,6 +144,14 @@ class RenderSession:
     def __init__(self, scene: Scene, cfg: RenderConfig,
                  flags: int = FLAG_PROGRESSIVE,
                  render_fn: Optional[Callable] = None):
+        if isinstance(scene, Scene):
+            # The one host-side seam every user scene passes through
+            # (CLI, viewer, direct API): warn on configurations the fast
+            # kernels' interval-overlap shadow test darkens (emissive
+            # sphere embedded in an occluder -- see tracecore._occ_test).
+            # ScaledScene fields are generated, always-safe layouts.
+            from ..scene import validate_scene
+            validate_scene(scene)
         self.scene = scene
         self.cfg = cfg
         self.flags = flags

@@ -669,6 +669,19 @@ class ChunkedScenePort(tc.ScenePort):
         )
 
 
+def uses_pallas() -> bool:
+    """The pallas=None auto-select predicate for the scaled renderers --
+    the ONE place that decides whether the Pallas traversal kernels run
+    (frontends derive their backend label from this same call, so the
+    label can never drift from the selection).  Default on TPU: with
+    BOTH traversal and fused-shadow kernels the Pallas path wins (591 vs
+    764 ms/frame at 100k/320x176, chunk 256); kernel-chunk sweep:
+    64->1041, 128->698, 256->591, 1024->797 ms.  TPT_SCALED_PALLAS=0
+    opts out (jnp scan path)."""
+    return (jax.devices()[0].platform == "tpu"
+            and _os.environ.get("TPT_SCALED_PALLAS", "1") != "0")
+
+
 @partial(jax.jit, static_argnames=("cfg", "row_blocks", "pallas",
                                    "differentiable"))
 def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
@@ -697,12 +710,7 @@ def render_frame_scaled(scene: ScaledScene, cfg: RenderConfig, frame,
     if differentiable:
         pallas = False
     if pallas is None:
-        # Default on TPU: with BOTH traversal and fused-shadow kernels the
-        # Pallas path wins (591 vs 764 ms/frame at 100k/320x176, chunk
-        # 256); kernel-chunk sweep: 64->1041, 128->698, 256->591,
-        # 1024->797 ms.  TPT_SCALED_PALLAS=0 opts out (jnp scan path).
-        pallas = (jax.devices()[0].platform == "tpu"
-                  and _os.environ.get("TPT_SCALED_PALLAS", "1") != "0")
+        pallas = uses_pallas()
     if pallas:
         return _render_frame_scaled_pallas(scene, cfg, frame)
 

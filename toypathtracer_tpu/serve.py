@@ -181,7 +181,12 @@ class Viewer:
             self.sess.state = init_frame_state(self.cfg)  # reset accum
             self.timer = FrameTimer(window=10)
         t = (time.perf_counter() - self._t0) * self.time_scale
-        n = 1 if (self.sess.flags & FLAG_ANIMATE) else self.batch
+        # Batch only while accumulating a static view: with PROGRESSIVE
+        # off each fused frame would overwrite the accumulator (n-1 of n
+        # wasted), and ANIMATE needs per-frame wall-clock time.
+        flags_now = self.sess.flags
+        n = self.batch if (flags_now & FLAG_PROGRESSIVE
+                           and not flags_now & FLAG_ANIMATE) else 1
         t0 = time.perf_counter()
         img, raycount = self.sess.steps(time=t, n=n)
         img_h = np.asarray(img)          # host transfer = device sync
@@ -291,7 +296,9 @@ def main(argv=None) -> int:
     _enable_compile_cache()
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
-    batch = args.batch if args.batch > 0 else (8 if on_tpu else 1)
+    # cap 64: progressive_steps' int32 ray-count bound (a ValueError there
+    # would kill the render thread silently)
+    batch = min(args.batch if args.batch > 0 else (8 if on_tpu else 1), 64)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, max_depth=args.max_depth,
                        pix_per_lane=args.ppl)
