@@ -31,6 +31,38 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Smoke tier: one fast representative test per subsystem, for mid-round
+# iteration on slow (1-CPU) hosts where the full fast gate is 13-70 min.
+# `pytest -m smoke` target: < 2 min warm-cache.  The full fast gate
+# (`-m "not slow"`) remains the pre-commit bar.
+_SMOKE = {
+    "test_rng.py::test_rand01_matches_oracle",          # RNG oracle
+    "test_rng.py::test_xorshift32_sequence",
+    "test_parity.py::test_first_pixel_exact",           # golden parity
+    "test_pallas.py::test_pallas_matches_jnp_bitexact",  # kernel bit-id
+    "test_merged.py::test_merged_matches_unmerged_jnp",  # pipelined loop
+    "test_wavefront.py::test_render_deterministic",
+    "test_wavefront.py::test_progressive_blend_matches_formula",
+    "test_sharding.py::test_sharded_matches_single_device",  # mesh
+    "test_grad.py::test_albedo_grad_matches_fd",        # gradients
+    "test_pallas_grad.py::test_grad_kernel_matches_jax_grad",
+    "test_io_cli.py::test_cli_headless_render",         # CLI surface
+    "test_checkpoint.py::test_progressive_resume_bitexact",
+    "test_serve.py::test_viewer_steps_and_png",         # viewer surface
+    "test_scaled.py::test_scaled_render_finite_and_lit",  # 100k config
+    "test_native.py::test_native_srgb_matches_numpy",   # C++ runtime
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # nodeid is "tests/test_x.py::test_y" or "test_x.py::test_y"
+        # depending on invocation dir; match on the trailing form.
+        short = "/".join(item.nodeid.split("/")[-1:])
+        if short in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
+
+
 def pytest_sessionstart(session):
     # Fail fast if the platform override did not take (e.g. a backend was
     # initialized before conftest ran): silently testing on one TPU would

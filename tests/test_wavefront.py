@@ -243,3 +243,55 @@ def test_render_session_validates_user_scenes(big_scene):
         frame_mod.RenderSession(bad, tiny)
     assert [x for x in w if "overlaps" in str(x.message)], \
         [str(x.message) for x in w]
+
+
+def test_progressive_steps_per_frame_counts_no_int32_wrap(big_scene):
+    """progressive_steps returns PER-FRAME int32 counts and sum_rays
+    totals them on host in int64 -- exact even when the total exceeds
+    int32 (round-4 advisor finding: a fused on-device int32 sum wrapped
+    silently for large n x resolution x spp, e.g. 64 fused 4K frames)."""
+    from toypathtracer_tpu.render.frame import (init_frame_state,
+                                                progressive_steps, sum_rays)
+
+    cfg = RenderConfig(width=8, height=4, samples_per_pixel=1, max_depth=2)
+    per_frame = 2 ** 30  # 4 of these overflow int32
+
+    def fake_render(scene, cfg_, frame):
+        return (jnp.zeros((cfg_.height, cfg_.width, 3), jnp.float32),
+                jnp.int32(per_frame))
+
+    st = init_frame_state(cfg)
+    st, img, rays = progressive_steps(st, big_scene, jnp.float32(0.0), cfg,
+                                      FLAG_PROGRESSIVE, fake_render, 4)
+    assert rays.shape == (4,)
+    assert sum_rays(rays) == 4 * per_frame  # > 2**31 - 1
+    # scalar (single-step) counts keep working through the same helper
+    assert sum_rays(jnp.int32(7)) == 7
+
+
+def test_explicit_skip_empty_overrides_merged_route(big_scene):
+    """cfg.merged_wavefront + an explicit skip_empty=True must fall back
+    to the unmerged body (which implements the early-out) instead of
+    silently dropping the request (round-4 advisor finding).  Ray counts
+    exact; colors at cond-region fusion tolerance (see
+    test_branch_skip_matches_straight_line)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from toypathtracer_tpu.camera import make_camera
+    from toypathtracer_tpu.ops import tracecore as tc
+    from toypathtracer_tpu.render.wavefront import ArrayScenePort
+
+    cfg = RenderConfig(width=48, height=16, samples_per_pixel=2, max_depth=4,
+                       merged_wavefront=True)
+    port = ArrayScenePort(big_scene)
+    cam = make_camera(big_scene.camera, cfg.width / cfg.height)
+    yy, xx = jnp.meshgrid(jnp.arange(cfg.height), jnp.arange(cfg.width),
+                          indexing="ij")
+    a_col, a_cnt = tc.render_pixels_fused(port, cfg, cam, xx, yy,
+                                          jnp.int32(2), skip_empty=False)
+    b_col, b_cnt = tc.render_pixels_fused(port, cfg, cam, xx, yy,
+                                          jnp.int32(2), skip_empty=True)
+    np.testing.assert_array_equal(np.asarray(a_cnt), np.asarray(b_cnt))
+    for a, b in zip(a_col, b_col):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -24,6 +24,7 @@ import numpy as np
 
 from . import io as image_io
 from .config import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
+from .render import frame as frame_mod
 from .render.frame import RenderSession
 from .scene import make_scene
 
@@ -34,6 +35,15 @@ def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir",
                       _os.path.expanduser("~/.cache/jax_toypt"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Honor a user's JAX_PLATFORMS env even where a site plugin pins the
+    # platform list at registration time (the tunneled-TPU environment
+    # does: env vars are read before the plugin overrides them, so only
+    # a config update takes effect).  `JAX_PLATFORMS=cpu python -m
+    # toypathtracer_tpu ...` must mean CPU -- otherwise a downed tunnel
+    # turns the CLI into a silent hang.
+    env_platforms = _os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
 
 
 def _pick_backend(name: str):
@@ -192,8 +202,9 @@ def main(argv=None) -> int:
         n = min(batch, frame0 + args.frames - f)
         t0 = time.perf_counter()
         img, raycount = sess.steps(time=f / 60.0, n=n)
-        # force completion via a host transfer (device sync)
-        rays = int(np.asarray(raycount))
+        # force completion via a host transfer (device sync); raycount is
+        # per-frame for n > 1 -- exact int64 host sum (no int32 wrap)
+        rays = frame_mod.sum_rays(raycount)
         dt = time.perf_counter() - t0
         # the reference HUD string (TestWin.cpp:330), per-frame units
         print(hud_string("TPU path tracer", dt / n, rays // n, f + n))

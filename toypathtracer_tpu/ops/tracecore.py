@@ -1825,14 +1825,18 @@ def render_pixels_fused(port: ScenePort, cfg: RenderConfig, cam, px, py,
     # GPU-sampler path, non-chunked port.  Same images/counts semantics
     # (see its docstring); the unmerged body below remains the lockstep
     # sibling's structural twin and the chunked/exact-shadow fallback.
+    # A requested skip-empty early-out (explicit arg or TPT_SKIP_EMPTY
+    # env) keeps the unmerged body: the merged loop does not implement
+    # it, and silently dropping the request was round-4 advisor finding
+    # #3 -- resolve the flag BEFORE routing.
+    if skip_empty is None:
+        skip_empty = _SKIP_EMPTY
     if (cfg.merged_wavefront and not samplers.exact_shadow
-            and not hasattr(port, "hit_chunks")):
+            and not hasattr(port, "hit_chunks") and not skip_empty):
         return render_pixels_fused_merged(
             port, cfg, cam, px, py, frame, samplers=samplers, flush=flush,
             stats=stats, n_slots=n_slots, slot_dy=slot_dy,
             count_bounds=count_bounds)
-    if skip_empty is None:
-        skip_empty = _SKIP_EMPTY
     shape = jnp.shape(px)
     spp = cfg.samples_per_pixel
     f32 = jnp.float32

@@ -16,6 +16,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
 from ..scene import Scene
@@ -111,17 +112,14 @@ def progressive_steps(state: FrameState, scene: Scene, time,
     progressive each frame overwrites the accumulator, so n-1 of n fused
     frames would be pure waste, and an animated scene needs per-frame
     wall-clock time); the returned image is the final accumulator and
-    raycount sums the n frames.
-
-    n is capped at 64: the summed ray count is int32 and the production
-    720p/4spp frame counts ~16.8M rays, so 64 frames stay under 2^31
-    with ~2x headroom.
+    raycount is the PER-FRAME (n,) int32 vector -- sum it on host with
+    sum_rays().  Per-frame counts are each well inside int32 (the render
+    kernels' own counter dtype), but a fused-on-device int32 SUM would
+    silently wrap for large n x resolution x spp (e.g. 64 fused 4K
+    frames), so the summing is the host's job in int64, exactly like
+    bench.py's protocol.  lax.scan compiles the body once, so n does not
+    grow compile time.
     """
-    if n > 64:
-        raise ValueError(f"progressive_steps n={n} > 64: the int32 ray-"
-                         "count sum overflows past ~128 frames at 720p "
-                         "(16.8M rays/frame); dispatch in <= 64-frame "
-                         "batches")
     if render_fn is None:
         render_fn = wavefront.render_frame
     scene_t = scene_for_frame(scene, time, flags)
@@ -134,7 +132,14 @@ def progressive_steps(state: FrameState, scene: Scene, time,
         return FrameState(accum=blended, frame=st.frame + 1), raycount
 
     new_state, rays = jax.lax.scan(body, state, None, length=n)
-    return new_state, new_state.accum, jnp.sum(rays)
+    return new_state, new_state.accum, rays
+
+
+def sum_rays(raycount) -> int:
+    """Exact host-side total of a raycount returned by progressive_step
+    (scalar) or progressive_steps ((n,) per-frame vector): int64 sum, no
+    int32 wrap at any n/resolution/spp."""
+    return int(np.asarray(raycount).astype(np.int64).sum())
 
 
 class RenderSession:

@@ -43,7 +43,7 @@ import numpy as np
 from . import io as image_io
 from .config import FLAG_ANIMATE, FLAG_PROGRESSIVE, RenderConfig
 from .profiling import FrameTimer
-from .render.frame import RenderSession, init_frame_state
+from .render.frame import RenderSession, init_frame_state, sum_rays
 from .scene import make_scene
 
 _PAGE = """<!DOCTYPE html>
@@ -190,7 +190,7 @@ class Viewer:
         t0 = time.perf_counter()
         img, raycount = self.sess.steps(time=t, n=n)
         img_h = np.asarray(img)          # host transfer = device sync
-        rays = int(np.asarray(raycount))
+        rays = sum_rays(raycount)        # per-frame for n > 1; int64 sum
         self.timer.add(time.perf_counter() - t0, rays, count=n)
         png = image_io.png_bytes(img_h)
         with self._lock:
@@ -296,8 +296,9 @@ def main(argv=None) -> int:
     _enable_compile_cache()
     import jax
     on_tpu = jax.devices()[0].platform == "tpu"
-    # cap 64: progressive_steps' int32 ray-count bound (a ValueError there
-    # would kill the render thread silently)
+    # cap 64 as dispatch-latency policy: one fused dispatch blocks flag
+    # toggles / HUD updates for its whole duration (ray counting itself
+    # is exact at any n -- per-frame counts, host int64 sum)
     batch = min(args.batch if args.batch > 0 else (8 if on_tpu else 1), 64)
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples_per_pixel=args.spp, max_depth=args.max_depth,
