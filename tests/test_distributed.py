@@ -27,15 +27,17 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_sharded_render():
+def test_two_process_sharded_render(tmp_path):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    grads_path = str(tmp_path / "dist_grads.npz")
 
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", coord, "2"],
+            [sys.executable, WORKER, str(pid), "2", coord, "2",
+             grads_path],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO)
         for pid in range(2)
@@ -72,3 +74,30 @@ def test_two_process_sharded_render():
     cfg = RenderConfig(width=64, height=32, samples_per_pixel=1, max_depth=3)
     _, rays_ref = render_frame(make_scene(big=True), cfg, jnp.int32(0))
     assert int(rays_ref) == int(lines[0].group(3))
+
+    # --- multi-host GRADIENT equality (round 5, the DCN analog of
+    # test_sharding.py's ICI gradient tests): the 2-process sharded
+    # value_and_grad step must reproduce the single-process sharded
+    # result on an equal-shape (4-virtual-device) mesh.
+    losses = {re.search(r"loss=([-\d.e+]+)", out).group(1)
+              for _, out, _ in outs}
+    assert len(losses) == 1, "processes disagree on the psum'd loss"
+
+    import numpy as np
+    import jax
+    from toypathtracer_tpu.inverse import make_sharded_value_and_grad
+    from toypathtracer_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(jax.devices()[:4])
+    scene = make_scene(big=True)
+    scene_p = scene.replace(center=scene.center + 0.03)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    vg = jax.jit(make_sharded_value_and_grad(cfg, mesh))
+    loss_ref, grads_ref = vg(scene_p, target, jnp.int32(1))
+    np.testing.assert_allclose(float(losses.pop()), float(loss_ref),
+                               rtol=1e-6)
+    dist = np.load(grads_path)
+    for f in ("center", "radius", "albedo", "emissive"):
+        np.testing.assert_allclose(
+            dist[f], np.asarray(getattr(grads_ref, f)),
+            rtol=1e-5, atol=1e-8,
+            err_msg=f"{f}: 2-process grads != single-process sharded")

@@ -103,3 +103,83 @@ def test_merged_no_light_sampling(big_scene):
     assert int(ra) == int(rb)
     a, b = np.asarray(a), np.asarray(b)
     assert np.abs(a - b).max() < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the merged traversal ported to the DIFFERENTIABLE lockstep loop
+# (tracecore.trace merged_diff route / bounce_parts_merged).
+
+MCFG_D = RenderConfig(width=64, height=8, samples_per_pixel=1, max_depth=4)
+MCFG_DM = MCFG_D.replace(merged_wavefront=True)
+
+
+def test_merged_diff_primal_matches_unmerged_diff(big_scene):
+    """Differentiable merged vs unmerged lockstep: same per-lane
+    expressions (merged_traversal is term-for-term the split traversals),
+    so ray counts are EXACT and primals agree to contraction drift."""
+    a, ra = render_frame(big_scene, MCFG_D, jnp.int32(3),
+                         differentiable=True)
+    b, rb = render_frame(big_scene, MCFG_DM, jnp.int32(3),
+                         differentiable=True)
+    assert int(ra) == int(rb)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() < 1e-5
+    assert (a == b).mean() > 0.9
+
+
+def test_merged_diff_grads_match_unmerged(big_scene):
+    """jax.grad through the merged differentiable route == through the
+    unmerged lockstep, all six parameter arrays (finite and allclose;
+    value-identical formulations can still drift by compiler contraction,
+    amplified ~10x through the depth-4 backward)."""
+    def make_loss(cfg):
+        def loss(s):
+            img, _ = render_frame(s, cfg, jnp.int32(2),
+                                  differentiable=True)
+            return jnp.mean(img)
+        return loss
+
+    ga = jax.jit(jax.grad(make_loss(MCFG_D)))(big_scene)
+    gb = jax.jit(jax.grad(make_loss(MCFG_DM)))(big_scene)
+    for f in ("center", "radius", "albedo", "emissive", "roughness", "ri"):
+        x = np.asarray(getattr(ga, f))
+        y = np.asarray(getattr(gb, f))
+        assert np.isfinite(y).all(), f"{f}: non-finite merged grad"
+        err = np.abs(x - y).max()
+        scale = np.abs(x).max() + 1e-12
+        assert err / scale < 1e-3, f"{f}: rel err {err / scale}"
+    # gradients actually flow (not trivially zero)
+    assert np.abs(np.asarray(gb.center)).max() > 0
+
+
+def test_merged_diff_grad_kernel_matches_jax_grad(small_scene):
+    """The fused Pallas gradient kernel under cfg.merged_wavefront routes
+    its in-kernel trace through bounce_parts_merged (unrolled
+    merged_traversal, safe sqrt): cotangents must equal jax.grad of the
+    jnp merged differentiable path."""
+    from toypathtracer_tpu.ops.pallas_grad import (
+        render_tile_grad_pallas, scene_cotangent_from_packed)
+
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=2, max_depth=3,
+                       grad_tile_h=8, grad_tile_w=16, tile_h=8, tile_w=16,
+                       merged_wavefront=True)
+    key = np.random.RandomState(1)
+    w = jnp.asarray(key.rand(cfg.height, cfg.width, 3).astype(np.float32))
+
+    def loss(s):
+        img, _ = render_frame(s, cfg, jnp.int32(0), differentiable=True)
+        return jnp.sum(img * w)
+
+    g_ref = jax.grad(loss)(small_scene)
+    _, _, d_packed = render_tile_grad_pallas(
+        small_scene, cfg, jnp.int32(0), jnp.transpose(w, (2, 0, 1)),
+        0, 0, cfg.height, cfg.width, interpret=True)
+    g_pal = scene_cotangent_from_packed(small_scene, d_packed)
+    for f in ("center", "radius", "albedo", "emissive", "roughness", "ri"):
+        a = np.asarray(getattr(g_ref, f))
+        b = np.asarray(getattr(g_pal, f))
+        assert np.isfinite(b).all(), f"{f}: non-finite"
+        err = np.abs(a - b).max()
+        scale = np.abs(a).max() + 1e-12
+        assert err / scale < 1e-3, f"{f}: rel err {err / scale}"

@@ -156,3 +156,52 @@ def test_inverse_renderer_pallas_backend(small_scene, cfg):
     err0 = float(jnp.abs(start.albedo - small_scene.albedo).mean())
     err1 = float(jnp.abs(fitted.albedo - small_scene.albedo).mean())
     assert err1 < err0
+
+
+def test_fused_vs_lockstep_primal_drift(big_scene):
+    """Bound the custom_vjp primal/gradient formulation mismatch: the
+    fused forward (the default primal of render_frame_pallas_diff) vs the
+    lockstep formulation (the function the backward differentiates) at a
+    representative inverse-rendering size.  The documented contract is
+    ~1e-3 max per-pixel drift (render_pixels_fused docstring); this pins
+    it so a regression (e.g. an op reorder that de-syncs the RNG) fails
+    loudly instead of silently corrupting (value, grad) pairs."""
+    cfg = RenderConfig(width=128, height=32, samples_per_pixel=2,
+                       max_depth=6)
+    fused, r_f = render_frame(big_scene, cfg, jnp.int32(0))
+    lock, r_l = render_frame(big_scene, cfg, jnp.int32(0),
+                             differentiable=True)
+    assert int(r_f) == int(r_l)  # identical per-lane RNG/ray sequences
+    diff = np.abs(np.asarray(fused) - np.asarray(lock))
+    assert diff.max() < 2e-3, diff.max()
+    assert diff.mean() < 2e-5, diff.mean()
+
+
+def test_lockstep_primal_knob_consistent_pair(small_scene, cfg, cotangent):
+    """render_frame_pallas_diff(lockstep_primal=True) must return the
+    EXACT primal of the gradient formulation: bit-equal to the gradient
+    kernel's own forward image, with unchanged gradients."""
+    img_g, rays_g, _ = render_tile_grad_pallas(
+        small_scene, cfg, jnp.int32(0),
+        jnp.transpose(cotangent, (2, 0, 1)), 0, 0,
+        cfg.height, cfg.width, interpret=True)
+
+    def loss(s):
+        img, rays = render_frame_pallas_diff(s, cfg, jnp.int32(0), True,
+                                             True)
+        return jnp.sum(img * cotangent), (img, rays)
+
+    (val, (img, rays)), grads = jax.value_and_grad(loss, has_aux=True)(
+        small_scene)
+    np.testing.assert_array_equal(
+        np.asarray(img), np.transpose(np.asarray(img_g), (1, 2, 0)))
+    assert int(rays) == int(rays_g)
+    # gradients are the same backward kernel regardless of the knob
+    def loss_fused(s):
+        img, _ = render_frame_pallas_diff(s, cfg, jnp.int32(0), True,
+                                          False)
+        return jnp.sum(img * cotangent)
+    g_fused = jax.grad(loss_fused)(small_scene)
+    for f in FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(grads, f)),
+                                      np.asarray(getattr(g_fused, f)))

@@ -368,3 +368,37 @@ def test_scaled_geometry_recovery_soft_silhouette():
     err = float(np.linalg.norm(np.asarray(center[sid]) - true_c))
     assert err < 0.4 * err0, (err, err0, losses[:3], losses[-3:])
     assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+
+
+def test_scaled_animation_beacon_orbit():
+    """ScaledScene.animate (round 5): the emissive beacons orbit, the
+    field stays static, every sphere stays inside its REFRESHED chunk
+    AABB (hit_chunks' pruning-exactness invariant), and the animated
+    frame renders finite and visibly different."""
+    s = make_scaled_scene(n=N, chunk=128, extent=30.0)
+    sa = s.animate(jnp.float32(1.3))
+    nl = len(s.emissive_ids)
+    assert not np.allclose(np.asarray(sa.center[:nl]),
+                           np.asarray(s.center[:nl]))
+    np.testing.assert_array_equal(np.asarray(sa.center[nl:]),
+                                  np.asarray(s.center[nl:]))
+    # orbit magnitude bounded by the documented 2x-radius XZ / 1x bob
+    d = np.abs(np.asarray(sa.center[:nl] - s.center[:nl]))
+    amp = 2.0 * np.asarray(s.radius[:nl])[:, None]
+    assert (d <= amp + 1e-5).all()
+    # pruning exactness: spheres inside refreshed AABBs
+    c = np.asarray(sa.center).reshape(-1, 128, 3)
+    r = np.asarray(sa.radius).reshape(-1, 128)
+    aabb = np.asarray(sa.chunk_aabb)
+    assert (c - r[..., None] >= aabb[:, None, :3] - 1e-4).all()
+    assert (c + r[..., None] <= aabb[:, None, 3:] + 1e-4).all()
+    # animate is a pure function of the base scene (frame-indexable)
+    sb = s.animate(jnp.float32(1.3))
+    np.testing.assert_array_equal(np.asarray(sa.center),
+                                  np.asarray(sb.center))
+    # renders finite and differs from the static frame
+    img0, _ = render_frame_scaled(s, CFG, jnp.int32(0))
+    img1, _ = render_frame_scaled(sa, CFG, jnp.int32(0))
+    a0, a1 = np.asarray(img0), np.asarray(img1)
+    assert np.isfinite(a1).all()
+    assert np.abs(a1 - a0).max() > 1e-3

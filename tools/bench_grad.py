@@ -40,6 +40,12 @@ def main():
                          "of 4 hid ~30%% of the kernel's rate")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--backend", choices=("jnp", "pallas"), default="jnp")
+    ap.add_argument("--merged", type=int, default=1, metavar="0|1",
+                    help="cfg.merged_wavefront: route the differentiable "
+                         "lockstep trace through the merged traversal "
+                         "(round 5: one sphere loop answers NEE occlusion "
+                         "+ next argmin, tracecore.bounce_parts_merged); "
+                         "0 = the unmerged round-4 formulation")
     ap.add_argument("--grad-tile", default=None, metavar="H,W",
                     help="grad_tile_h,grad_tile_w override (pallas backend; "
                          "default 8,128 -- the backward kernel's VMEM "
@@ -59,7 +65,8 @@ def main():
 
     cfg = tpt.RenderConfig(width=args.width, height=args.height,
                            samples_per_pixel=args.spp,
-                           max_depth=args.depth)
+                           max_depth=args.depth,
+                           merged_wavefront=bool(args.merged))
     if args.grad_tile:
         gh, gw = (int(x) for x in args.grad_tile.split(","))
         cfg = cfg.replace(grad_tile_h=gh, grad_tile_w=gw)

@@ -59,9 +59,29 @@ def main() -> int:
     local = distributed.host_local_slice(img)
     assert local.shape == (8 * per_proc, 64, 3), local.shape
 
+    # One sharded VALUE-AND-GRAD step across the processes: per-shard
+    # loss/grads psum over the global mesh (the DCN analog of the ICI
+    # gradient reduction, reference: the cross-worker atomic ray-count
+    # reduce Test.cpp:299).  Grads/loss come back replicated, so every
+    # process can fetch them; pid 0 dumps them for the driver test to
+    # compare against the single-process sharded result.
+    import numpy as np
+    from toypathtracer_tpu.inverse import make_sharded_value_and_grad
+    vg = jax.jit(make_sharded_value_and_grad(cfg, mesh))
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    scene_p = scene.replace(center=scene.center + 0.03)
+    loss, grads = vg(scene_p, target, jnp.int32(1))
+    loss = float(loss)
+    out_path = sys.argv[5] if len(sys.argv) > 5 else ""
+    if out_path and pid == 0:
+        np.savez(out_path,
+                 **{f: np.asarray(getattr(grads, f))
+                    for f in ("center", "radius", "albedo", "emissive")})
+
     print(f"SMOKE pid={pid} global_devices={n_global} "
           f"local_devices={jax.local_device_count()} rays={int(rays)} "
-          f"local_rows={local.shape[0]} sum={float(local.sum()):.4f}",
+          f"local_rows={local.shape[0]} sum={float(local.sum()):.4f} "
+          f"loss={loss:.9e}",
           flush=True)
     return 0
 

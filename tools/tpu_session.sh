@@ -39,11 +39,17 @@ timeout 1800 python tools/occupancy.py
 timeout 1800 python tools/occupancy.py --ppl 45 --tile 720,128 \
   --out build/occupancy_shipped.json
 
-# 6. fwd+bwd with the Pallas gradient kernel (steady-state frames)
+# 6. fwd+bwd with the Pallas gradient kernel (steady-state frames);
+#    round 5: merged differentiable route A/B (bounce_parts_merged)
 timeout 3000 python tools/bench_grad.py --backend pallas --frames 48 \
-  --reps 3 > build/bench_grad_pallas.json
+  --reps 3 --merged 1 > build/bench_grad_pallas_merged.json
+timeout 3000 python tools/bench_grad.py --backend pallas --frames 48 \
+  --reps 3 --merged 0 > build/bench_grad_pallas.json
 timeout 1800 python tools/bench_grad.py --backend jnp --frames 12 \
   --reps 3 > build/bench_grad_jnp.json
+
+# 7. round-5 empirical issue-rate / headroom model (dummy-op slope)
+timeout 5400 python tools/issue_slope.py
 
 # summary table of the sweep
 python - <<'EOF'

@@ -144,8 +144,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(tile_h=th, tile_w=tw)
     if args.scaled:
         from .scaled import make_scaled_scene
-        if args.animate:
-            raise SystemExit("--scaled has no animation path")
+        # --animate works: ScaledScene.animate orbits the emissive
+        # beacons and refreshes chunk AABBs (scaled.py)
         if args.backend not in ("auto", "jnp"):
             raise SystemExit("--scaled uses its own chunked renderer")
         scene = make_scaled_scene(n=args.scaled)

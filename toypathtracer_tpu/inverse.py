@@ -128,18 +128,21 @@ def image_l2_tonemapped(img, target):
 
 def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
                 loss_fn=image_l2, backend: str = "jnp",
-                interpret: bool = False):
+                interpret: bool = False, lockstep_primal: bool = False):
     """Pixel loss of a differentiable single-frame render against `target`.
 
     backend="pallas" renders AND differentiates through the fused Pallas
     kernels (ops/pallas_grad.render_frame_pallas_diff): forward is the
     fast fused kernel, backward is the in-kernel-vjp gradient kernel --
     the per-bounce carries of the reverse sweep stay in VMEM instead of
-    round-tripping HBM (the 3.8x fwd+bwd cliff of the XLA path)."""
+    round-tripping HBM (the 3.8x fwd+bwd cliff of the XLA path).
+    lockstep_primal=True makes the forward render the exact function the
+    backward differentiates (consistent (value, grad) pair at lockstep
+    forward speed; see render_frame_pallas_diff)."""
     if backend == "pallas":
         from .ops.pallas_grad import render_frame_pallas_diff
         img, _ = render_frame_pallas_diff(scene, cfg, frame,
-                                          interpret=interpret)
+                                          interpret, lockstep_primal)
     else:
         img, _ = wavefront.render_frame(scene, cfg, frame,
                                         differentiable=True)
@@ -297,6 +300,13 @@ class InverseRenderer:
     # interpret=True runs the Pallas kernels in interpret mode (CPU
     # testing of the backend="pallas" training step; no effect on jnp).
     interpret: bool = False
+    # backend="pallas" only: render the loss's primal with the LOCKSTEP
+    # kernel (the exact function the backward differentiates) instead of
+    # the fused forward.  Default False: for Adam on L2 the ~1e-3
+    # fused-vs-lockstep primal drift is noise-level and the fused
+    # forward is faster; set True when the loss needs a consistent
+    # (value, grad) pair (see ops/pallas_grad.render_frame_pallas_diff).
+    lockstep_primal: bool = False
 
     def __post_init__(self):
         adam = optax.adam(self.learning_rate, eps=self.adam_eps)
@@ -318,7 +328,8 @@ class InverseRenderer:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: render_loss(s, t, self.cfg, f,
                                             self.loss_fn, self.backend,
-                                            self.interpret))
+                                            self.interpret,
+                                            self.lockstep_primal))
         self._step = jax.jit(self._step_impl)
 
     def _step_impl(self, scene, opt_state, mask, frame):

@@ -135,6 +135,85 @@ def _grad_kernel(cfg: RenderConfig, mat_type, emissive_ids,
                                      ds_ref[r, i] + d_sv[r][i])
 
 
+def _lockstep_fwd_kernel(cfg: RenderConfig, mat_type, emissive_ids,
+                         scene_ref, cam_ref, dyn_ref,
+                         r_ref, g_ref, b_ref, cnt_ref):
+    """Forward-only twin of _grad_kernel: the LOCKSTEP (differentiable)
+    formulation rendered without the vjp.  Same TupleScenePort + same
+    tc.render_pixels(differentiable=True) trace, so its image is the
+    exact primal the gradient kernel differentiates -- the consistent
+    (value, grad) pairing render_frame_pallas_diff(lockstep_primal=True)
+    promises."""
+    tile_h, tile_w = r_ref.shape
+    y0 = dyn_ref[2] + pl.program_id(0) * tile_h
+    x0 = dyn_ref[1] + pl.program_id(1) * tile_w
+    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    cam = camera_from_array_reader(lambda i: cam_ref[i])
+    n = len(mat_type)
+    sv = tuple(tuple(scene_ref[r, i] for i in range(n))
+               for r in range(SCENE_ROWS))
+    port = TupleScenePort(sv, mat_type, emissive_ids)
+    col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
+                                   differentiable=True)
+    r_ref[:] = col[0]
+    g_ref[:] = col[1]
+    b_ref[:] = col[2]
+    visible = (xx < dyn_ref[3]) & (yy < dyn_ref[4])
+    cnt_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(
+        jnp.where(visible, raycnt, 0))
+
+
+def render_tile_lockstep_pallas(scene: Scene, cfg: RenderConfig, frame,
+                                x0, y0, height: int, width: int,
+                                interpret: bool = False):
+    """LOCKSTEP-formulation forward render of a (height, width) sub-image
+    (Pallas, grad-kernel tiling).  Returns (img (3, height, width),
+    ray_count).  Slower than the fused forward (fixed-trip loops, no
+    early exit) -- use only when primal/gradient consistency matters
+    (render_frame_pallas_diff(lockstep_primal=True))."""
+    tile_h = cfg.grad_tile_h
+    tile_w = cfg.grad_tile_w
+    pad_h = -height % tile_h
+    pad_w = -width % tile_w
+    height_p, width_p = height + pad_h, width + pad_w
+    gh, gw = height_p // tile_h, width_p // tile_w
+
+    packed = pack_scene(scene)
+    cam = camera_to_array(make_camera(scene.camera, cfg.width / cfg.height))
+    x0 = jnp.asarray(x0, jnp.int32)
+    y0 = jnp.asarray(y0, jnp.int32)
+    dyn = jnp.stack([jnp.asarray(frame, jnp.int32), x0, y0,
+                     x0 + width, y0 + height])
+    kernel = functools.partial(_lockstep_fwd_kernel, cfg, scene.mat_type,
+                               scene.emissive_ids)
+    plane = jax.ShapeDtypeStruct((height_p, width_p), jnp.float32)
+    plane_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+    r, g, b, cnt = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # frame + offsets
+        ],
+        out_shape=(
+            plane, plane, plane,
+            jax.ShapeDtypeStruct((gh, gw), jnp.int32),
+        ),
+        out_specs=(
+            plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(packed, cam, dyn)
+    img = jnp.stack([r, g, b])
+    if pad_h or pad_w:
+        img = img[:, :height, :width]
+    return img, jnp.sum(cnt)
+
+
 def render_tile_grad_pallas(scene: Scene, cfg: RenderConfig, frame,
                             g_img, x0, y0, height: int, width: int,
                             interpret: bool = False):
@@ -247,26 +326,46 @@ def _tile_diff_bwd(cfg, height, width, interpret, res, cts):
 render_tile_pallas_diff.defvjp(_tile_diff_fwd, _tile_diff_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
 def render_frame_pallas_diff(scene: Scene, cfg: RenderConfig, frame,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             lockstep_primal: bool = False):
     """Differentiable full-frame render whose forward is the fused Pallas
     kernel and whose backward is the fused Pallas gradient kernel.
 
     Drop-in for wavefront.render_frame(..., differentiable=True) as a loss
     building block: returns ((H, W, 3) f32, ray count).  Gradients are of
     the lockstep formulation (identical to the jnp differentiable path;
-    asserted in tests/test_pallas_grad.py); primal values are the fused
-    forward (agrees to ~1e-3 -- same contract as the forward paths)."""
+    asserted in tests/test_pallas_grad.py).
+
+    lockstep_primal selects which formulation renders the VALUE:
+      False (default, fastest): the fused forward kernel.  Values agree
+        with the differentiated lockstep formulation only to ~1e-3 (the
+        forward paths' documented cross-formulation drift,
+        render_pixels_fused docstring; bounded by
+        tests/test_pallas_grad.py::test_fused_vs_lockstep_primal_drift).
+        Fine for L2-style losses where the mismatch is noise-level.
+      True: the lockstep forward kernel (render_tile_lockstep_pallas) --
+        the EXACT function the backward differentiates, so (value, grad)
+        are a consistent pair (e.g. for line searches, loss landscapes,
+        or losses sharp enough that 1e-3 of primal drift matters).
+        Costs the lockstep loop's lower lane occupancy on the forward.
+    """
+    if lockstep_primal:
+        img, rays = render_tile_lockstep_pallas(
+            scene, cfg, frame, 0, 0, cfg.height, cfg.width,
+            interpret=interpret)
+        return jnp.transpose(img, (1, 2, 0)), rays
     return render_frame_pallas(scene, cfg, frame, interpret=interpret)
 
 
-def _diff_fwd(scene, cfg, frame, interpret):
-    out = render_frame_pallas(scene, cfg, frame, interpret=interpret)
+def _diff_fwd(scene, cfg, frame, interpret, lockstep_primal):
+    out = render_frame_pallas_diff(scene, cfg, frame, interpret,
+                                   lockstep_primal)
     return out, (scene, frame)
 
 
-def _diff_bwd(cfg, interpret, res, cts):
+def _diff_bwd(cfg, interpret, lockstep_primal, res, cts):
     scene, frame = res
     g_img, _ = cts  # ray-count cotangent is symbolically zero (int)
     g_planes = jnp.transpose(g_img, (2, 0, 1))

@@ -97,6 +97,31 @@ class ScaledScene:
     def n_chunks(self) -> int:
         return self.chunk_aabb.shape[0]
 
+    def replace(self, **kw) -> "ScaledScene":
+        return dataclasses.replace(self, **kw)
+
+    def animate(self, time) -> "ScaledScene":
+        """Procedural beacon orbit -- the scaled analog of UpdateTest's
+        sphere animation (reference: Test.cpp:304-308 moves spheres 1
+        and 8; here each emissive beacon circles its rest position in
+        the XZ plane at 2x its own radius with a phase-offset vertical
+        bob).  The 100k field spheres stay static; chunk AABBs are
+        refreshed functionally afterwards (refresh_chunk_aabb) so
+        hit_chunks' pruning stays exact -- the beacons live in pinned
+        chunk 0, but a full refresh is ~600k flops, noise next to the
+        render.  Pure function of the BASE scene: scene_for_frame calls
+        it fresh each frame, exactly like Scene.animate."""
+        nl = len(self.emissive_ids)
+        li = jnp.arange(nl, dtype=jnp.float32)
+        t = jnp.asarray(time, jnp.float32)
+        phase = t + li * jnp.float32(2.0 * np.pi / max(nl, 1))
+        amp = self.radius[:nl] * 2.0
+        off = jnp.stack([jnp.cos(phase) * amp,
+                         jnp.sin(t * jnp.float32(0.7) + li) * (amp * 0.5),
+                         jnp.sin(phase) * amp], axis=1)
+        center = self.center.at[:nl].add(off)
+        return refresh_chunk_aabb(dataclasses.replace(self, center=center))
+
 
 def make_scaled_scene(n: int = 100_000, seed: int = 1234,
                       chunk: int = 256,

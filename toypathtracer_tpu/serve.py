@@ -307,8 +307,8 @@ def main(argv=None) -> int:
     if args.scaled:
         from functools import partial
         from .scaled import make_scaled_scene, render_frame_scaled
-        if args.animate:
-            raise SystemExit("--scaled has no animation path")
+        # --animate works: ScaledScene.animate orbits the emissive
+        # beacons (functional chunk-AABB refresh, scaled.py)
         scene = make_scaled_scene(n=args.scaled)
         render_fns = {"jnp": partial(render_frame_scaled, pallas=False)}
         if on_tpu:
