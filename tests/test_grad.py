@@ -125,3 +125,59 @@ def test_grad_mask_freezes_fields(big_scene):
     assert float(np.asarray(mask.center).max()) == 0.0
     with pytest.raises(ValueError):
         scene_grad_mask(big_scene, ("nope",))
+
+
+def test_diff_skip_dead_identical(big_scene):
+    """The whole-tile depth-tail early-out in the differentiable loops
+    (tracecore trace _skip_dead, round 5) must not change values or
+    gradients: the skipped body is the identity once every lane is dead
+    (e=0, c=1, counts+0), and lax.cond's vjp replays the taken branch.
+    Compare against TPT_DIFF_SKIP_DEAD=0 via the env knob."""
+    import os
+    import subprocess
+    import sys
+    import json
+
+    prog = r"""
+import os, json, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_toypt"))
+import jax.numpy as jnp
+import numpy as np
+import toypathtracer_tpu as tpt
+from toypathtracer_tpu.render.wavefront import render_frame
+
+cfg = tpt.RenderConfig(width=64, height=8, samples_per_pixel=1, max_depth=6,
+                       merged_wavefront=os.environ["M"] == "1")
+scene = tpt.make_scene(big=True)
+
+def loss(s):
+    img, rays = render_frame(s, cfg, jnp.int32(1), differentiable=True)
+    return jnp.mean(img), rays
+
+(val, rays), g = jax.value_and_grad(loss, has_aux=True)(scene)
+print(json.dumps({"val": float(val), "rays": int(rays),
+                  "gc": float(jnp.sum(jnp.abs(g.center))),
+                  "ga": float(jnp.sum(jnp.abs(g.albedo)))}))
+"""
+    results = {}
+    for merged in ("0", "1"):
+        for skip in ("0", "1"):
+            env = dict(os.environ)
+            env["TPT_DIFF_SKIP_DEAD"] = skip
+            env["M"] = merged
+            out = subprocess.run([sys.executable, "-c", prog],
+                                 capture_output=True, text=True, env=env,
+                                 timeout=1200)
+            assert out.returncode == 0, out.stderr[-2000:]
+            results[(merged, skip)] = json.loads(
+                out.stdout.strip().splitlines()[-1])
+    for merged in ("0", "1"):
+        a, b = results[(merged, "0")], results[(merged, "1")]
+        assert a["rays"] == b["rays"], (merged, a, b)
+        assert a["val"] == b["val"], (merged, a, b)
+        np.testing.assert_allclose(a["gc"], b["gc"], rtol=1e-6)
+        np.testing.assert_allclose(a["ga"], b["ga"], rtol=1e-6)

@@ -23,9 +23,14 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+# The tunneled-TPU environment pins its platform at plugin registration;
+# only the config update reliably selects CPU (a downed tunnel otherwise
+# HANGS this pure-tracing tool at backend init).
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 _ClosedJaxpr = jax._src.core.ClosedJaxpr
@@ -156,6 +161,54 @@ def census_fused_body(cfg: RenderConfig, scene, lane_h: int, lane_w: int,
     return counts
 
 
+def census_diff_bounce(cfg: RenderConfig, scene, lane_h: int, lane_w: int,
+                       merged: bool):
+    """Census ONE differentiable bounce (the body the backward sweep
+    recomputes and transposes): bounce_parts for the round-4 lockstep
+    formulation, bounce_parts_merged (+ its share of the prologue,
+    amortized to ~0) for the round-5 merged route.  Counts the forward
+    expressions only -- the vjp roughly doubles every differentiable op,
+    so a forward delta transfers ~proportionally to fwd+bwd."""
+    from toypathtracer_tpu.ops.pallas_grad import TupleScenePort
+    from toypathtracer_tpu.ops.pallas_render import SCENE_ROWS
+
+    n = scene.n_spheres
+    cam_spec = make_camera(scene.camera, cfg.width / cfg.height)
+
+    def run(scene_rows):
+        port = TupleScenePort(scene_rows, scene.mat_type,
+                              scene.emissive_ids)
+        shape = (lane_h, lane_w)
+        zero = jnp.zeros(shape, jnp.float32)
+        ro = (zero, zero + 2.0, zero + 3.0)
+        rd = (zero, zero - 0.5, zero - 0.8)
+        alive = zero < 1.0
+        do_me = zero < 1.0
+        state = jnp.full(shape, 123456789, jnp.uint32)
+        raycnt = jnp.zeros(shape, jnp.int32)
+        carry = (ro, rd, alive, do_me, state, raycnt)
+        if merged:
+            hit_t = zero + 2.5
+            hit_id = jnp.zeros(shape, jnp.int32)
+            out, e, c, ht2, hid2 = tc.bounce_parts_merged(
+                port, cfg, carry, hit_t, hit_id)
+            return out[5], e[0], c[0], ht2
+        out, e, c = tc.bounce_parts(port, cfg, carry)
+        return out[5], e[0], c[0]
+
+    rows = tuple(tuple(jnp.float32(0.5) for _ in range(n))
+                 for _ in range(SCENE_ROWS))
+    jaxpr = jax.make_jaxpr(run)(rows)
+    counts = {}
+    _walk(jaxpr.jaxpr, counts, lane_size=lane_h * lane_w)
+    counts.pop("_sp", None)
+    vec = counts.get("vector", {})
+    counts["vector_total"] = sum(vec.values())
+    counts["lane_block"] = [lane_h, lane_w]
+    counts["n_slots"] = 1
+    return counts
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=15, help="pix_per_lane")
@@ -163,13 +216,22 @@ def main():
     ap.add_argument("--lane-h", type=int, default=8)
     ap.add_argument("--merged", action="store_true",
                     help="census the software-pipelined (merged) loop")
+    ap.add_argument("--diff", action="store_true",
+                    help="census one DIFFERENTIABLE bounce (the unit the "
+                         "backward sweep recomputes+transposes) instead "
+                         "of the fused forward loop body")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     scene = make_scene(big=True)
     # production workload: 1280x720, 4 spp, depth 10
     cfg = RenderConfig(merged_wavefront=args.merged)
-    counts = census_fused_body(cfg, scene, args.lane_h, args.tile_w, args.k)
+    if args.diff:
+        counts = census_diff_bounce(cfg, scene, args.lane_h, args.tile_w,
+                                    args.merged)
+    else:
+        counts = census_fused_body(cfg, scene, args.lane_h, args.tile_w,
+                                   args.k)
     top = sorted(counts["by_prim"].items(), key=lambda kv: -kv[1])[:20]
     print(json.dumps({
         "vector_total": counts["vector_total"],

@@ -1800,6 +1800,35 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
                    and not hasattr(port, "hit_chunks")
                    and not cfg.soft_silhouette_eps > 0.0)
     remat = os.environ.get("TPT_REMAT", "1") != "0"
+
+    def _skip_dead(step):
+        """Whole-tile depth-tail early-out for the DIFFERENTIABLE loops
+        (round 5): when no lane is alive the bounce body is the identity
+        on everything that reaches the output (e=0, c=1, counts+0, state
+        untouched on dead lanes), so wrap it in lax.cond on the alive
+        reduction -- per-bounce-iteration cost one max-reduce; whole
+        body (and its vjp: cond is reverse-differentiable and replays
+        the taken branch) skipped once the tile's rays are all dead.
+        Most paths terminate well before max_depth=10, and unlike the
+        forward wavefront the lockstep loop has no refill to keep lanes
+        busy, so the tail is pure waste.
+
+        OPT-IN (TPT_DIFF_SKIP_DEAD=1): value- and gradient-identical
+        (tests/test_grad.py::test_diff_skip_dead_identical), but
+        default OFF -- on XLA:CPU the cond-in-remat-loop program
+        SIGABRTs at some shapes under pytest (reproduced round 5 at
+        128x16/spp2/depth4; the identical program runs fine standalone
+        -- an XLA:CPU runtime fragility, not a math issue).  Intended
+        for TPU A/B where the depth-tail win is the hypothesis."""
+        if os.environ.get("TPT_DIFF_SKIP_DEAD", "0") != "1":
+            return step
+
+        def guarded(c):
+            alive_i = c[4]
+            return jax.lax.cond(jnp.max(alive_i) > 0, step, lambda x: x,
+                                c)
+        return guarded
+
     if merged_diff:
         # Prologue argmin for the camera ray (nothing to merge with yet;
         # safe-grad handled by hit_spheres via port.needs_safe_grad /
@@ -1819,6 +1848,7 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
             return (ro2, rd2, col2, atten2, alive2.astype(jnp.int32),
                     do_me2.astype(jnp.int32), state2, raycnt2, ht2, hid2)
 
+        step_m = _skip_dead(step_m)
         if remat:
             step_m = jax.checkpoint(step_m)
         init = (ro, rd, col, atten, alive.astype(jnp.int32),
@@ -1837,6 +1867,7 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
         # residual saving.
         step = lambda c: encode(bounce_step(port, cfg, decode(c), samplers,
                                 soft=cfg.soft_silhouette_eps > 0.0))
+        step = _skip_dead(step)  # encoded alive is carry[4] here too
         if remat:
             step = jax.checkpoint(step)
         carry = jax.lax.fori_loop(0, cfg.max_depth,
