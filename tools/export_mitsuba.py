@@ -27,6 +27,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pure host-side XML generation: force the CPU backend via config update
+# (the tunneled-TPU environment ignores the env var and a downed tunnel
+# would hang this tool at first array creation).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
