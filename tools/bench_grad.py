@@ -40,6 +40,12 @@ def main():
                          "of 4 hid ~30%% of the kernel's rate")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--backend", choices=("jnp", "pallas"), default="jnp")
+    ap.add_argument("--wavefront", type=int, default=0, metavar="0|1",
+                    help="cfg.diff_wavefront: differentiate the merged "
+                         "persistent-wavefront loop itself (fixed-bound "
+                         "fori + cond early-out; round 5) instead of the "
+                         "lockstep spp loop -- cuts the dead-lane depth "
+                         "tail from the backward sweep")
     ap.add_argument("--merged", type=int, default=1, metavar="0|1",
                     help="cfg.merged_wavefront: route the differentiable "
                          "lockstep trace through the merged traversal "
@@ -66,7 +72,8 @@ def main():
     cfg = tpt.RenderConfig(width=args.width, height=args.height,
                            samples_per_pixel=args.spp,
                            max_depth=args.depth,
-                           merged_wavefront=bool(args.merged))
+                           merged_wavefront=bool(args.merged),
+                           diff_wavefront=bool(args.wavefront))
     if args.grad_tile:
         gh, gw = (int(x) for x in args.grad_tile.split(","))
         cfg = cfg.replace(grad_tile_h=gh, grad_tile_w=gw)

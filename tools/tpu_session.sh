@@ -51,8 +51,14 @@ timeout 1800 python tools/bench_grad.py --backend jnp --frames 12 \
 # 7. round-5 empirical issue-rate / headroom model (dummy-op slope)
 timeout 5400 python tools/issue_slope.py
 
-# 8. depth-tail early-out A/B on the gradient kernel (opt-in knob;
-#    known-fragile on XLA:CPU, the hypothesis is TPU-only)
+# 8. round-5 differentiable WAVEFRONT (the big backward lever: refill +
+#    early-exit in the reverse-differentiable loop)
+timeout 3000 python tools/bench_grad.py --backend pallas --frames 48 \
+  --reps 3 --merged 1 --wavefront 1 \
+  > build/bench_grad_pallas_wavefront.json
+
+# 9. depth-tail early-out A/B on the LOCKSTEP gradient kernel (opt-in
+#    knob; known-fragile on XLA:CPU, the hypothesis is TPU-only)
 TPT_DIFF_SKIP_DEAD=1 timeout 3000 python tools/bench_grad.py \
   --backend pallas --frames 48 --reps 3 --merged 1 \
   > build/bench_grad_pallas_merged_skipdead.json

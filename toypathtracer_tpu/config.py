@@ -94,6 +94,20 @@ class RenderConfig:
     # (docs/PERFORMANCE.md round-4 log, docs/measured/bench_tile_r4.json).
     merged_wavefront: bool = False
 
+    # Differentiable WAVEFRONT (round 5): route the differentiable path
+    # through the merged persistent-wavefront loop itself (fixed-bound
+    # fori + whole-tile cond early-out + per-iteration remat) instead of
+    # the lockstep spp loop.  The lockstep form runs spp x max_depth
+    # bounce bodies per lane regardless of ray lifetime; the wavefront
+    # refills a lane with its next camera sample the moment a sample
+    # dies, so the loop exits after ~spp x E[depth] + straggler
+    # iterations -- the same tail the forward wavefront eliminates, now
+    # in the backward sweep too.  Requires merged_wavefront=True, GPU
+    # samplers, no soft silhouette, non-chunked ports; gradients equal
+    # the lockstep formulation's at the usual cross-formulation drift
+    # (tests/test_diff_wavefront.py).
+    diff_wavefront: bool = False
+
     # Soft-silhouette gradient estimator (differentiable path only; the
     # forward image is bit-identical regardless).  When > 0, the lockstep
     # renderer blends hit/miss radiance with a straight-through sigmoid of

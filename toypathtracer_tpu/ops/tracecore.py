@@ -2188,7 +2188,8 @@ def render_pixels_fused_merged(port: ScenePort, cfg: RenderConfig, cam,
                                samplers: Samplers = GPU_SAMPLERS,
                                flush=None, stats: bool = False,
                                n_slots: int = 1, slot_dy: int = 0,
-                               count_bounds=None):
+                               count_bounds=None,
+                               differentiable: bool = False):
     """Software-pipelined persistent wavefront (round 4): the nearest-hit
     (t, id) of each lane's ray is CARRIED one iteration ahead, so each
     iteration runs
@@ -2225,6 +2226,16 @@ def render_pixels_fused_merged(port: ScenePort, cfg: RenderConfig, cam,
         "n_slots > 1 needs a flush callback (per-slot accumulation)"
     assert not hasattr(port, "hit_chunks"), \
         "merged wavefront does not support chunked ports"
+    # differentiable (round 5): same body, but driven by a FIXED-bound
+    # fori_loop (reverse-mode needs a static trip count) whose step is
+    # guarded by the while-cond as a whole-tile lax.cond (exits the real
+    # work after ~spp x E[depth] + straggler iterations, in forward AND
+    # backward -- cond replays only the taken branch in reverse) and
+    # rematerialized per iteration (carry-only residuals).  The argmin
+    # sqrt switches to safe_sqrt_pos (identical values, NaN-free vjp).
+    assert not (differentiable and (flush is not None or stats)), \
+        "differentiable wavefront: flush is a forward-only VMEM hook " \
+        "and stats counters are forward-only"
     shape = jnp.shape(px)
     spp = cfg.samples_per_pixel
     f32 = jnp.float32
@@ -2393,7 +2404,8 @@ def render_pixels_fused_merged(port: ScenePort, cfg: RenderConfig, cam,
         else:
             t_ls, light_hits, ldirs = [], [], []
         pend_t, pend_id, occs = merged_traversal(
-            port, ro, rd, cfg.min_t, cfg.max_t, ldirs, light_ids, t_ls)
+            port, ro, rd, cfg.min_t, cfg.max_t, ldirs, light_ids, t_ls,
+            safe=differentiable)
 
         # --- 6. NEE contribution, accumulate, flush depth-cutoff samples
         if n_l:
@@ -2451,8 +2463,24 @@ def render_pixels_fused_merged(port: ScenePort, cfg: RenderConfig, cam,
 
     # Peel the first iteration (Mosaic replicated-layout workaround --
     # see render_pixels_fused)
-    d_fin, carry = jax.lax.while_loop(cond, body,
-                                      body((jnp.int32(0), carry0)))
+    if differentiable:
+        step0 = body
+        if os.environ.get("TPT_REMAT", "1") != "0":
+            step0 = jax.checkpoint(body)
+        first = step0((jnp.int32(0), carry0))
+
+        def step(dc):
+            # identity branch keeps d so the guard stays False forever
+            # once the tile drains; d_fin is a forward-only stat
+            return jax.lax.cond(cond(dc), body, lambda x: x, dc)
+
+        if os.environ.get("TPT_REMAT", "1") != "0":
+            step = jax.checkpoint(step)
+        d_fin, carry = jax.lax.fori_loop(0, max_iters - 1,
+                                         lambda _, dc: step(dc), first)
+    else:
+        d_fin, carry = jax.lax.while_loop(cond, body,
+                                          body((jnp.int32(0), carry0)))
     if flush is None:
         col_sum, raycnt = carry[3], carry[8]
         col = scale3(col_sum, jnp.float32(1.0 / spp))
@@ -2479,6 +2507,19 @@ def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
     """
     if differentiable:
         assert flush is None, "flush is a forward-only (Pallas) hook"
+        # Round-5 differentiable WAVEFRONT route (cfg.diff_wavefront):
+        # the merged persistent-wavefront loop itself, reverse-mode
+        # (fixed-bound fori + cond early-out; see
+        # render_pixels_fused_merged).  Constraints mirror the forward
+        # merged route; lockstep remains the default differentiable form
+        # and the soft-silhouette / golden-parity path.
+        if (cfg.diff_wavefront and cfg.merged_wavefront
+                and not samplers.exact_shadow
+                and not hasattr(port, "hit_chunks")
+                and not cfg.soft_silhouette_eps > 0.0):
+            return render_pixels_fused_merged(port, cfg, cam, px, py,
+                                              frame, samplers=samplers,
+                                              differentiable=True)
         return render_pixels_lockstep(port, cfg, cam, px, py, frame,
                                       differentiable=True,
                                       samplers=samplers)
