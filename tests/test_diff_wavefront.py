@@ -130,3 +130,33 @@ def test_grad_kernel_inherits_wavefront_route(small_scene):
         err = np.abs(a - b).max()
         scale = np.abs(a).max() + 1e-12
         assert err / scale < 1e-3, f"{f}: rel err {err / scale}"
+
+
+def test_sharded_wavefront_grads_match_single_device(big_scene):
+    """The production multi-chip grad configuration with the wavefront
+    route: shard_map'd value_and_grad (rows sharded, psum'd cotangents)
+    must reproduce the single-device result."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    from toypathtracer_tpu.inverse import (make_sharded_value_and_grad,
+                                           render_loss)
+    from toypathtracer_tpu.parallel.mesh import make_mesh
+
+    cfg = RenderConfig(width=64, height=16, samples_per_pixel=1,
+                       max_depth=4, merged_wavefront=True,
+                       diff_wavefront=True)
+    mesh = make_mesh()
+    target, _ = render_frame(big_scene, cfg, jnp.int32(0))
+    target = jax.lax.stop_gradient(target)
+    scene_p = big_scene.replace(center=big_scene.center + 0.03)
+
+    loss1, grads1 = jax.jit(jax.value_and_grad(
+        lambda s: render_loss(s, target, cfg, jnp.int32(1))))(scene_p)
+    vg = jax.jit(make_sharded_value_and_grad(cfg, mesh))
+    lossn, gradsn = vg(scene_p, target, jnp.int32(1))
+
+    np.testing.assert_allclose(float(loss1), float(lossn), rtol=1e-6)
+    for f in ("center", "radius", "albedo", "emissive"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads1, f)), np.asarray(getattr(gradsn, f)),
+            rtol=1e-4, atol=1e-7, err_msg=f)
