@@ -188,7 +188,7 @@ def main(argv=None) -> int:
 
     import jax
     print(f"backend={backend_name} device={jax.devices()[0].device_kind} "
-          f"scene={'9' if args.small else '46'}-sphere "
+          f"scene={args.scaled if args.scaled else (9 if args.small else 46)}-sphere "
           f"{cfg.width}x{cfg.height} spp={cfg.samples_per_pixel}")
 
     from .profiling import hud_string
