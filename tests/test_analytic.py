@@ -280,3 +280,65 @@ def test_nee_direct_light_matches_quadrature():
                 * expected_scalar)
     got = mean_patch.mean(axis=0)
     np.testing.assert_allclose(got, expected, rtol=0.02)
+
+
+def test_dielectric_scatter_matches_independent_numpy():
+    """The dielectric branch (the most regression-prone material --
+    SURVEY 'hard parts': invRadius-signed normals, inside/outside test,
+    Schlick gating) vs an independent float64 numpy implementation of
+    the reference's scatter (Test.cpp:151-186): Snell refraction
+    direction, total-internal-reflection fallback, and the Schlick
+    probability, over a grid of incidence angles and both entering and
+    exiting rays."""
+    from toypathtracer_tpu.ops import tracecore as tc
+
+    ri = 1.5
+    rng = np.random.RandomState(7)
+    angles = np.linspace(0.05, np.pi - 0.05, 41)  # vs +y normal
+    normal_np = np.array([0.0, 1.0, 0.0])
+
+    def np_scatter(rd, rr):
+        """Reference semantics in float64 numpy (independent impl)."""
+        rdn = rd @ normal_np
+        entering = rdn <= 0.0
+        outward = normal_np if entering else -normal_np
+        nint = 1.0 / ri if entering else ri
+        cosine = -rdn if entering else ri * rdn
+        dt = rd @ outward
+        discr = 1.0 - nint * nint * (1.0 - dt * dt)
+        if discr > 0.0:
+            refr = nint * (rd - outward * dt) - outward * np.sqrt(discr)
+            r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+            prob = r0 + (1.0 - r0) * min(max(1.0 - cosine, 0.0), 1.0) ** 5
+        else:
+            refr = None
+            prob = 1.0
+        refl = rd - 2.0 * (rd @ normal_np) * normal_np
+        out = refl if rr < prob else refr
+        return out / np.linalg.norm(out), prob
+
+    shape = (len(angles),)
+    rd = np.stack([np.sin(angles), -np.cos(angles), np.zeros(shape)], 0)
+    # angles > pi/2 give rays moving AWAY from the surface along +y ->
+    # the 'exiting' branch (rdn > 0), exactly the inside-the-sphere case
+    state = jnp.asarray(rng.randint(1, 2**31, shape).astype(np.uint32))
+    refl = tc.reflect3(tuple(jnp.asarray(r) for r in rd),
+                       (jnp.zeros(shape), jnp.ones(shape),
+                        jnp.zeros(shape)))
+    st, out = tc._scatter_dielectric(
+        state, tuple(jnp.asarray(r) for r in rd),
+        (jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape)),
+        refl, jnp.full(shape, ri, jnp.float32))
+    out = np.stack([np.asarray(o) for o in out], 0)
+
+    # replicate the single RNG draw to know which branch each lane took
+    _, rr = tc.rand01(state)
+    rr = np.asarray(rr)
+
+    for k in range(len(angles)):
+        expect, prob = np_scatter(rd[:, k].astype(np.float64),
+                                  float(rr[k]))
+        got = out[:, k]
+        np.testing.assert_allclose(got, expect, rtol=0, atol=5e-6,
+                                   err_msg=f"angle {angles[k]:.3f} "
+                                           f"rr={rr[k]:.3f} prob={prob:.3f}")
