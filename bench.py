@@ -56,7 +56,11 @@ def _arm_watchdog():
     JSON line instead of an rc=124 with empty stdout."""
     import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+    # Default BELOW the outer timeouts that wrap bench.py in scripts
+    # (tpu_session.sh: 1800 s, tunnel_watch.sh: 2700 s): an outer SIGTERM
+    # wins the race otherwise and the diagnostic line never prints --
+    # the exact voided-measurement mode this watchdog exists to prevent.
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
     done = threading.Event()
 
     def fire():
@@ -72,7 +76,8 @@ def _arm_watchdog():
             "error": f"watchdog: bench exceeded {deadline:.0f}s "
                      "(device backend hang)",
         }), flush=True)
-        os._exit(0)
+        os._exit(0 if os.environ.get("BENCH_SOFT_FAIL", "1") != "0"
+                 else 1)
 
     threading.Thread(target=fire, daemon=True).start()
     return done
@@ -132,7 +137,9 @@ def main():
     try:
         _run()
         done.set()
-    except BaseException as e:  # pragma: no cover - env-specific
+    except Exception as e:  # pragma: no cover - env-specific
+        # NOT BaseException: a Ctrl-C must abort with a nonzero rc, not
+        # overwrite the redirect target with a value:null "measurement"
         err = f"{type(e).__name__}: {str(e).splitlines()[0][:240]}" \
             if str(e) else type(e).__name__
         log(f"bench: FAILED -- {err}")

@@ -44,17 +44,29 @@ DEFAULT_ITERS_PER_FRAME = 5551
 
 
 def run_bench(n_dummy: int, frames: int, reps: int):
+    """One bench subprocess; returns Mray/s or None on failure (the sweep
+    keeps its completed points either way -- losing tens of minutes of
+    chip measurements to one flaky point is the failure mode here)."""
     env = dict(os.environ)
     env["TPT_DUMMY_OPS"] = str(n_dummy)
     env["BENCH_FRAMES"] = str(frames)
     env["BENCH_REPS"] = str(reps)
-    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         capture_output=True, text=True, env=env,
-                         timeout=3600)
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    # per-point budget below the outer script timeouts: in-process
+    # watchdog first, then the subprocess kill
+    env.setdefault("BENCH_DEADLINE_S", "900")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, timeout=1200)
+        line = out.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+    except Exception as e:
+        sys.stderr.write(f"issue_slope: N={n_dummy} FAILED ({e})\n")
+        return None
     if d.get("value") is None:
-        raise RuntimeError(f"bench failed at N={n_dummy}: {d.get('error')}")
+        sys.stderr.write(f"issue_slope: N={n_dummy} FAILED "
+                         f"({d.get('error')})\n")
+        return None
     sys.stderr.write(f"issue_slope: N={n_dummy} -> {d['value']} Mray/s\n")
     return d["value"]
 
@@ -74,16 +86,25 @@ def main():
 
     ns = [int(x) for x in args.points.split(",")]
     results = []
-    rays_per_frame = None
+    rays_per_frame = 16_772_198  # 720p/4spp big scene (occupancy artifact)
     for n in ns:
         mrays = run_bench(n, args.frames, args.reps)
+        if mrays is None:
+            continue  # keep the sweep's completed points
         # bench counts the same rays at any N (the probe can't change
-        # counts); 720p/4spp big scene = 16.772 Mray/frame (occupancy
-        # artifact).  t_per_frame = rays / (Mray/s)
-        rays_per_frame = 16_772_198
+        # counts).  t_per_frame = rays / (Mray/s)
         t_ms = rays_per_frame / (mrays * 1e6) * 1e3
         results.append({"dummy_ops": n, "mrays": mrays,
                         "ms_per_frame": round(t_ms, 4)})
+    if len(results) < 2:
+        # still record whatever happened so the window isn't silent
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"error": "fewer than 2 sweep points completed",
+                       "points": results}, f, indent=1)
+        print(json.dumps({"metric": "tau_op_ns", "value": None,
+                          "error": "sweep incomplete"}))
+        return
 
     # least-squares slope over all points, plus the piecewise slopes
     import numpy as np

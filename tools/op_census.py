@@ -173,7 +173,6 @@ def census_diff_bounce(cfg: RenderConfig, scene, lane_h: int, lane_w: int,
     from toypathtracer_tpu.ops.pallas_render import SCENE_ROWS
 
     n = scene.n_spheres
-    cam_spec = make_camera(scene.camera, cfg.width / cfg.height)
 
     def run(scene_rows):
         port = TupleScenePort(scene_rows, scene.mat_type,

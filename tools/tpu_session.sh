@@ -48,8 +48,9 @@ timeout 3000 python tools/bench_grad.py --backend pallas --frames 48 \
 timeout 1800 python tools/bench_grad.py --backend jnp --frames 12 \
   --reps 3 > build/bench_grad_jnp.json
 
-# 7. round-5 empirical issue-rate / headroom model (dummy-op slope)
-timeout 5400 python tools/issue_slope.py
+# 7. round-5 empirical issue-rate / headroom model (dummy-op slope);
+#    worst case 5 points x 1200 s per-point budget
+timeout 7200 python tools/issue_slope.py
 
 # 8. round-5 differentiable WAVEFRONT (the big backward lever: refill +
 #    early-exit in the reverse-differentiable loop)

@@ -49,14 +49,8 @@ def _enable_compile_cache():
 def _pick_backend(name: str):
     """Resolve a backend name to a render_fn(scene, cfg, frame) or None
     (None = the default jnp wavefront renderer)."""
-    import sys as _sys
     import jax
 
-    # First device-backend touch: on a tunneled-TPU host with the tunnel
-    # down this BLOCKS (it does not raise), so say what we're doing and
-    # how to escape before going quiet.
-    print("probing device backend (JAX_PLATFORMS=cpu forces local CPU)...",
-          file=_sys.stderr, flush=True)
     if name == "auto":
         name = "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
     if name == "jnp":
@@ -167,6 +161,13 @@ def main(argv=None) -> int:
     if args.animate:
         flags |= FLAG_ANIMATE
 
+    # First device-backend touch (either branch below probes
+    # jax.devices()): on a tunneled-TPU host with the tunnel down this
+    # BLOCKS (it does not raise), so say what we're doing and how to
+    # escape before going quiet.
+    import sys as _sys
+    print("probing device backend (JAX_PLATFORMS=cpu forces local CPU)...",
+          file=_sys.stderr, flush=True)
     if args.backend == "__scaled__":
         from .scaled import render_frame_scaled, uses_pallas
         # the label queries the same predicate render_frame_scaled's

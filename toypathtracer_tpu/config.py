@@ -134,6 +134,17 @@ class RenderConfig:
         if not (1 <= self.pix_per_lane <= 63):
             raise ValueError(f"pix_per_lane must be in [1, 63], "
                              f"got {self.pix_per_lane}")
+        if self.diff_wavefront and not self.merged_wavefront:
+            # Silently benchmarking the wrong formulation on scarce chip
+            # time is worse than erroring (round-4 advisor finding class:
+            # silently dropped requests)
+            raise ValueError("diff_wavefront requires merged_wavefront "
+                             "(the differentiable wavefront IS the merged "
+                             "loop run reverse-mode)")
+        if self.diff_wavefront and self.soft_silhouette_eps > 0.0:
+            raise ValueError("diff_wavefront does not implement the "
+                             "soft-silhouette estimator; use the lockstep "
+                             "differentiable route for geometry recovery")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -151,7 +151,8 @@ def render_loss(scene: Scene, target, cfg: RenderConfig, frame,
 
 def multiview_render_loss(scene: Scene, cameras, targets,
                           cfg: RenderConfig, frame, loss_fn=image_l2,
-                          backend: str = "jnp", interpret: bool = False):
+                          backend: str = "jnp", interpret: bool = False,
+                          lockstep_primal: bool = False):
     """Mean pixel loss over several (camera, target) views.
 
     Single-view geometry recovery is identifiability-limited: depth along
@@ -167,7 +168,7 @@ def multiview_render_loss(scene: Scene, cameras, targets,
         if backend == "pallas":
             from .ops.pallas_grad import render_frame_pallas_diff
             img, _ = render_frame_pallas_diff(view, cfg, frame,
-                                              interpret=interpret)
+                                              interpret, lockstep_primal)
         else:
             img, _ = wavefront.render_frame(view, cfg, frame,
                                             differentiable=True)
@@ -306,6 +307,8 @@ class InverseRenderer:
     # fused-vs-lockstep primal drift is noise-level and the fused
     # forward is faster; set True when the loss needs a consistent
     # (value, grad) pair (see ops/pallas_grad.render_frame_pallas_diff).
+    # Supported single-view and multi-view; raises with mesh sharding
+    # (the tile-level custom_vjp has no lockstep-primal variant).
     lockstep_primal: bool = False
 
     def __post_init__(self):
@@ -316,6 +319,13 @@ class InverseRenderer:
             if self.loss_fn is not image_l2:
                 raise ValueError("mesh sharding implements image_l2 only "
                                  "(the per-shard partial sums assume it)")
+            if self.lockstep_primal:
+                # the sharded path's tile-level custom_vjp has no
+                # lockstep-primal variant; silently ignoring the request
+                # would hand back the fused primal the caller opted out of
+                raise ValueError("lockstep_primal is not implemented for "
+                                 "mesh-sharded training; drop mesh or "
+                                 "lockstep_primal")
             self._vg = make_sharded_value_and_grad(
                 self.cfg, self.mesh, backend=self.backend,
                 interpret=self.interpret, cameras=self.cameras)
@@ -323,7 +333,7 @@ class InverseRenderer:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: multiview_render_loss(
                     s, self.cameras, t, self.cfg, f, self.loss_fn,
-                    self.backend, self.interpret))
+                    self.backend, self.interpret, self.lockstep_primal))
         else:
             self._vg = jax.value_and_grad(
                 lambda s, t, f: render_loss(s, t, self.cfg, f,

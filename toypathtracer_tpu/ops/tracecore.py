@@ -2513,13 +2513,20 @@ def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
         # render_pixels_fused_merged).  Constraints mirror the forward
         # merged route; lockstep remains the default differentiable form
         # and the soft-silhouette / golden-parity path.
-        if (cfg.diff_wavefront and cfg.merged_wavefront
-                and not samplers.exact_shadow
-                and not hasattr(port, "hit_chunks")
-                and not cfg.soft_silhouette_eps > 0.0):
-            return render_pixels_fused_merged(port, cfg, cam, px, py,
-                                              frame, samplers=samplers,
-                                              differentiable=True)
+        if cfg.diff_wavefront:
+            # cfg-level constraints are validated in RenderConfig; the
+            # remaining per-call ones fall back to lockstep LOUDLY (a
+            # silently mislabeled A/B wastes scarce chip time)
+            if samplers.exact_shadow or hasattr(port, "hit_chunks"):
+                import warnings
+                warnings.warn(
+                    "cfg.diff_wavefront ignored: exact-shadow samplers "
+                    "and chunked ports use the lockstep differentiable "
+                    "route", stacklevel=2)
+            else:
+                return render_pixels_fused_merged(port, cfg, cam, px, py,
+                                                  frame, samplers=samplers,
+                                                  differentiable=True)
         return render_pixels_lockstep(port, cfg, cam, px, py, frame,
                                       differentiable=True,
                                       samplers=samplers)
