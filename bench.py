@@ -103,12 +103,22 @@ def _probe_devices(max_attempts=None, backoff_s=None):
     if backoff_s is None:
         backoff_s = float(os.environ.get("BENCH_INIT_BACKOFF", "60"))
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
+    # Honor JAX_PLATFORMS in probe AND parent via config update: the
+    # tunneled-TPU environment pins its platform list at plugin
+    # registration, so the env var alone is ignored -- without this, a
+    # BENCH on CPU (CI, JAX_PLATFORMS=cpu) hangs probing the tunnel.
+    probe_src = ("import os, jax\n"
+                 "v = os.environ.get('JAX_PLATFORMS')\n"
+                 "if v: jax.config.update('jax_platforms', v)\n"
+                 "print(jax.devices()[0].platform)")
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
     last = None
     for attempt in range(1, max_attempts + 1):
         try:
             subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                [sys.executable, "-c", probe_src],
                 check=True, timeout=probe_timeout, capture_output=True)
             return jax.devices()
         except Exception as e:  # raise/timeout in probe, or parent init
