@@ -90,11 +90,19 @@ def main():
     vg = jax.value_and_grad(
         lambda s, f: render_loss(s, target, cfg, f, backend=args.backend))
 
+    # The gradient work must stay LIVE through the scan: every grad leaf
+    # is summed into the returned accumulator.  (Through round 4 the body
+    # emitted grads only as the scan's discarded ys, and XLA's
+    # while-loop simplifier dead-code-eliminated the entire backward --
+    # the "fwd+bwd" numbers it printed were the forward primal alone;
+    # see docs/measured/bench_grad_r5_dce.json.)
     @jax.jit
     def steps(scene):
         def body(acc, f):
             loss, grads = vg(scene, f)
-            return acc + loss, grads.center[0, 0]
+            gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads)
+                       if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating))
+            return acc + loss + gsum, None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0),
                               jnp.arange(args.frames, dtype=jnp.int32))
         return acc

@@ -52,6 +52,45 @@ from .pallas_render import (SCENE_ROWS, ROW_CX, ROW_CY, ROW_CZ, ROW_SQR,
                             render_tile_pallas)
 
 
+def _register_remat_lowering():
+    """Teach Mosaic to lower `remat2` by inlining its jaxpr.
+
+    The in-kernel vjp checkpoints each unrolled bounce body
+    (tracecore.trace diff_unroll) so the reverse sweep keeps only
+    inter-body carries in VMEM -- without remat the straight-line
+    residuals overflow the 16M scoped-vmem limit (measured 19.57M at a
+    16x128 tile).  jax's partial-eval leaves a `remat2` call eqn in the
+    kernel jaxpr, and Mosaic (jax 0.8.x, pallas/mosaic/lowering.py) has
+    no rule for it, failing with "Unimplemented primitive ... remat2".
+    Inlining is exactly how jax's own MLIR path lowers it
+    (ad_checkpoint.remat_lowering evaluates the jaxpr); liveness inside
+    the kernel is Mosaic's register/VMEM allocator's job either way.
+
+    Version-pinned by construction: registers only if remat2 has no
+    rule yet, and degrades to a no-op if the internals moved."""
+    try:
+        from jax._src.ad_checkpoint import remat_p
+        from jax._src.pallas.mosaic import lowering as ml
+
+        already = any(remat_p in rules
+                      for rules in ml.lowering_rules.values())
+        if already:
+            return
+
+        def _remat_rule(ctx, *args, jaxpr, **_):
+            lowering_context = ctx.lowering_context.replace(
+                block_shapes=ctx.block_shapes)
+            return ml.jaxpr_subcomp(lowering_context, jaxpr, *args)
+
+        ml.register_lowering_rule(
+            remat_p, kernel_types=[*ml.tpu_core.KernelType])(_remat_rule)
+    except Exception:  # pragma: no cover - jax internals moved; the
+        pass           # kernel then needs TPT_REMAT=0 to compile
+
+
+_register_remat_lowering()
+
+
 class TupleScenePort(tc.ScenePort):
     """ScenePort over a nested tuple sv[row][i] of traced scalars (the
     packed-scene layout of pallas_render.pack_scene).  Used as the
@@ -109,8 +148,12 @@ def _grad_kernel(cfg: RenderConfig, mat_type, emissive_ids,
 
     def tile_fn(sv_in):
         port = TupleScenePort(sv_in, mat_type, emissive_ids)
+        # diff_unroll: Mosaic cannot lower reverse-mode through lax
+        # loops (scan-ys, see tracecore.trace docstring) -- in-kernel
+        # AD requires the straight-line form.
         col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
-                                       differentiable=True)
+                                       differentiable=True,
+                                       diff_unroll=True)
         return col, raycnt
 
     (col, vjp_fn, raycnt) = jax.vjp(tile_fn, sv, has_aux=True)
@@ -155,7 +198,7 @@ def _lockstep_fwd_kernel(cfg: RenderConfig, mat_type, emissive_ids,
                for r in range(SCENE_ROWS))
     port = TupleScenePort(sv, mat_type, emissive_ids)
     col, raycnt = tc.render_pixels(port, cfg, cam, xx, yy, dyn_ref[0],
-                                   differentiable=True)
+                                   differentiable=True, diff_unroll=True)
     r_ref[:] = col[0]
     g_ref[:] = col[1]
     b_ref[:] = col[2]

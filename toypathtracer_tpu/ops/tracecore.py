@@ -1752,13 +1752,25 @@ def tail_parts(port: ScenePort, cfg: RenderConfig, carry):
 
 def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
           differentiable: bool = False,
-          samplers: Samplers = GPU_SAMPLERS):
+          samplers: Samplers = GPU_SAMPLERS,
+          diff_unroll: bool = False):
     """Full iterative trace of a ray batch: `max_depth` bounce steps with
     GPU-form downward accumulation.
 
     differentiable=False uses lax.while_loop with whole-batch early exit
     (fast forward path); differentiable=True uses a fixed-trip fori_loop
     (reverse-mode differentiable).
+
+    diff_unroll=True unrolls the differentiable bounce loop into
+    straight-line code.  REQUIRED inside the Pallas gradient kernel:
+    reverse-mode through a lax loop produces a scan with per-iteration
+    residual outputs (ys), and Mosaic's scan lowering only supports
+    fori-like scans -- it silently returns carries for a carries+ys
+    eqn and crashes ("foreach() argument 2 is shorter than argument
+    1", jax/_src/pallas/mosaic/lowering.py:3198 checks extensive
+    *inputs* only).  Unrolled straight-line AD has no scan, so it
+    lowers; XLA callers keep the loop form (smaller program, same
+    values).
 
     Returns (color vec3, final rng state, per-lane ray count int32).
     """
@@ -1850,11 +1862,20 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
 
         step_m = _skip_dead(step_m)
         if remat:
+            # under diff_unroll the checkpoint matters MORE: straight-line
+            # AD otherwise saves every intermediate of all 40 bodies and
+            # blows the 16M VMEM scoped limit (measured 19.57M at a
+            # 16x128 tile); per-body remat keeps only inter-body carries
             step_m = jax.checkpoint(step_m)
         init = (ro, rd, col, atten, alive.astype(jnp.int32),
                 do_me.astype(jnp.int32), state, raycnt, h0.t, h0.hit_id)
-        fin = jax.lax.fori_loop(0, cfg.max_depth, lambda _, c: step_m(c),
-                                init)
+        if diff_unroll:
+            fin = init
+            for _ in range(cfg.max_depth):
+                fin = step_m(fin)
+        else:
+            fin = jax.lax.fori_loop(0, cfg.max_depth,
+                                    lambda _, c: step_m(c), init)
         return fin[2], fin[6], fin[7]
     if differentiable:
         # Remat the bounce step: reverse-mode otherwise saves every
@@ -1870,8 +1891,13 @@ def trace(port: ScenePort, cfg: RenderConfig, ro, rd, state,
         step = _skip_dead(step)  # encoded alive is carry[4] here too
         if remat:
             step = jax.checkpoint(step)
-        carry = jax.lax.fori_loop(0, cfg.max_depth,
-                                  lambda _, c: step(c), encode(carry))
+        if diff_unroll:
+            carry = encode(carry)
+            for _ in range(cfg.max_depth):
+                carry = step(carry)
+        else:
+            carry = jax.lax.fori_loop(0, cfg.max_depth,
+                                      lambda _, c: step(c), encode(carry))
         ro, rd, col, atten, alive, do_me, state, raycnt = decode(carry)
     else:
         def cond(dc):
@@ -1917,7 +1943,8 @@ def trace_cpu_exact(port: ScenePort, cfg: RenderConfig, ro, rd, state):
 
 def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
                            frame, differentiable: bool = False,
-                           samplers: Samplers = GPU_SAMPLERS):
+                           samplers: Samplers = GPU_SAMPLERS,
+                           diff_unroll: bool = False):
     """Lockstep spp loop: seed, spp sequential camera samples, trace each to
     completion over all lanes, average.  Mirrors the HLSL main() body
     (ComputeShader.hlsl:377-388) literally.  This is the differentiable
@@ -1928,15 +1955,25 @@ def render_pixels_lockstep(port: ScenePort, cfg: RenderConfig, cam, px, py,
     raycnt = jnp.zeros(shape, jnp.int32)
     fx = px.astype(jnp.float32)
     fy = py.astype(jnp.float32)
-    for _ in range(cfg.samples_per_pixel):
+    def sample(state):
         state, ur = rand01(state)
         u = (fx + ur) * jnp.float32(cfg.inv_width)
         state, vr = rand01(state)
         v = (fy + vr) * jnp.float32(cfg.inv_height)
         state, ro, rd = camera_get_ray(cam, u, v, state, samplers)
-        c, state, rc = trace(port, cfg, ro, rd, state,
-                             differentiable=differentiable,
-                             samplers=samplers)
+        return trace(port, cfg, ro, rd, state,
+                     differentiable=differentiable,
+                     samplers=samplers, diff_unroll=diff_unroll)
+
+    if diff_unroll and os.environ.get("TPT_REMAT", "1") != "0":
+        # Second remat level for the in-kernel (straight-line) vjp: a
+        # per-sample checkpoint makes the spp sample chains' residuals
+        # peak one-at-a-time in the backward instead of all persisting
+        # from the forward sweep (without it the 8x128 grad tile's
+        # scoped VMEM demand measured 19.57M vs the 16M limit).
+        sample = jax.checkpoint(sample)
+    for _ in range(cfg.samples_per_pixel):
+        c, state, rc = sample(state)
         col = add3(col, c)
         raycnt = raycnt + rc
     col = scale3(col, jnp.float32(1.0 / cfg.samples_per_pixel))
@@ -2493,7 +2530,8 @@ def render_pixels_fused_merged(port: ScenePort, cfg: RenderConfig, cam,
 
 def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
                   differentiable: bool = False,
-                  samplers: Samplers = GPU_SAMPLERS, flush=None):
+                  samplers: Samplers = GPU_SAMPLERS, flush=None,
+                  diff_unroll: bool = False):
     """Render a block of pixels: seed, spp camera samples, trace, average.
 
     px, py: integer pixel coordinate arrays (any shape); y=0 is the bottom
@@ -2516,19 +2554,25 @@ def render_pixels(port: ScenePort, cfg: RenderConfig, cam, px, py, frame,
         if cfg.diff_wavefront:
             # cfg-level constraints are validated in RenderConfig; the
             # remaining per-call ones fall back to lockstep LOUDLY (a
-            # silently mislabeled A/B wastes scarce chip time)
-            if samplers.exact_shadow or hasattr(port, "hit_chunks"):
+            # silently mislabeled A/B wastes scarce chip time).
+            # diff_unroll (the in-Pallas-kernel mode) also falls back:
+            # the wavefront's early-exit loop only makes sense as a lax
+            # loop, which Mosaic cannot reverse-differentiate (scan-ys).
+            if samplers.exact_shadow or hasattr(port, "hit_chunks") \
+                    or diff_unroll:
                 import warnings
                 warnings.warn(
-                    "cfg.diff_wavefront ignored: exact-shadow samplers "
-                    "and chunked ports use the lockstep differentiable "
-                    "route", stacklevel=2)
+                    "cfg.diff_wavefront ignored: exact-shadow samplers, "
+                    "chunked ports and the in-kernel (unrolled) gradient "
+                    "route use the lockstep differentiable form",
+                    stacklevel=2)
             else:
                 return render_pixels_fused_merged(port, cfg, cam, px, py,
                                                   frame, samplers=samplers,
                                                   differentiable=True)
         return render_pixels_lockstep(port, cfg, cam, px, py, frame,
                                       differentiable=True,
-                                      samplers=samplers)
+                                      samplers=samplers,
+                                      diff_unroll=diff_unroll)
     return render_pixels_fused(port, cfg, cam, px, py, frame,
                                samplers=samplers, flush=flush)
